@@ -1,0 +1,28 @@
+"""software_rasterizer_tpu — a TPU-native rendering framework.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of the
+reference CPU renderer "SoftRasterizer" (C++17, AVX2+TBB):
+
+  * traditional triangle rasterization (vertex transform, barycentric
+    coverage, z-buffer, 5 fragment-shader types),
+  * Whitted-style recursive ray tracing (Moller-Trumbore + BVH,
+    Phong direct lighting, Fresnel reflect/refract),
+  * Monte Carlo path tracing (NEE + uniform-hemisphere indirect with
+    Russian-roulette termination),
+
+re-designed TPU-first: scenes are SoA pytrees of device arrays, integrators
+are wavefront loops (`lax.scan`) instead of recursion, hot loops are fused
+Pallas kernels on (8,128)-aligned screen tiles, and scaling axes
+(framebuffer tiles, samples-per-pixel) shard over a `jax.sharding.Mesh`.
+
+Layout:
+  models/    scene data model: meshes, spheres, materials, lights, Scene
+  ops/       device kernels: raster, intersect, BVH, shading, integrators
+  parallel/  device-mesh sharding, multi-host render, checkpointing
+  render/    user-facing pipelines (Rasterizer / RayTracing / PathTracing)
+  utils/     host-side: transforms, OBJ/MTL/texture loaders, image IO
+"""
+
+__version__ = "0.1.0"
+
+from software_rasterizer_tpu.config import RenderConfig  # noqa: F401
