@@ -1,0 +1,34 @@
+"""Device-side texture fetch (reference: TextureLoader.cpp:14-31).
+
+Nearest texel with clamp-truncate semantics and the u==1/v==1 -> black
+quirk, vectorized over fragments from a padded texture atlas.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def fetch_nearest(atlas, tex_wh, tex_id, uv):
+    """Gather texel colors.
+
+    atlas:  (K,Hm,Wm,3) f32 padded texture stack
+    tex_wh: (K,2) i32 (width, height) valid extents
+    tex_id: (...,) i32 texture index (-1 = no texture -> black)
+    uv:     (...,2) f32
+
+    Returns (...,3) f32. Reproduces TextureLoader::getTextureColor:
+    clamp uv to [0,1], x=int(u*W), y=int(v*H), out-of-range -> black.
+    """
+    tid = jnp.maximum(tex_id, 0)
+    w = tex_wh[tid, 0]
+    h = tex_wh[tid, 1]
+    u = jnp.clip(uv[..., 0], 0.0, 1.0)
+    v = jnp.clip(uv[..., 1], 0.0, 1.0)
+    x = (u * w.astype(jnp.float32)).astype(jnp.int32)
+    y = (v * h.astype(jnp.float32)).astype(jnp.int32)
+    oob = (x >= w) | (y >= h) | (tex_id < 0)
+    xs = jnp.minimum(x, w - 1)
+    ys = jnp.minimum(y, h - 1)
+    out = atlas[tid, ys, xs]
+    return jnp.where(oob[..., None], 0.0, out)

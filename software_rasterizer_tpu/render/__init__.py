@@ -1,0 +1,9 @@
+"""User-facing render pipelines (reference: include/base/Render.hpp,
+include/render/{Rasterizer,RayTracing,PathTracing}.hpp)."""
+
+from software_rasterizer_tpu.render.pipeline import (  # noqa: F401
+    Buffers,
+    Primitive,
+    RenderingPipeline,
+)
+from software_rasterizer_tpu.render.rasterizer import TraditionalRasterizer  # noqa: F401

@@ -1,0 +1,66 @@
+"""TraditionalRasterizer pipeline (reference: src/Rasterizer.cpp).
+
+Each draw(): flatten the scene's per-frame matrices (host, tiny) and run
+the jitted device raster step. The geometry bundle is cached — the
+animated-rotation benchmark loop (main.cpp:113-175) re-runs only the
+device step with fresh matrices, so shapes stay static and jit caches.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from software_rasterizer_tpu.models.scene import RasterGeometry, Scene
+from software_rasterizer_tpu.ops.lines import rasterize_wireframe
+from software_rasterizer_tpu.ops.raster import render_raster_frame
+from software_rasterizer_tpu.render.pipeline import Primitive, RenderingPipeline
+
+
+class TraditionalRasterizer(RenderingPipeline):
+    def __init__(self, width: int, height: int, tile: Tuple[int, int] = (128, 128), chunk: int = 512):
+        super().__init__(width, height)
+        self.tile = tile
+        self.chunk = chunk
+        self._geom_cache: Dict[str, RasterGeometry] = {}
+        self._geom_rev: Dict[str, int] = {}
+
+    def invalidate(self, scene_name: Optional[str] = None):
+        """Drop cached geometry (call after adding/removing meshes)."""
+        if scene_name is None:
+            self._geom_cache.clear()
+        else:
+            self._geom_cache.pop(scene_name, None)
+
+    def _geometry(self, scene: Scene) -> RasterGeometry:
+        g = self._geom_cache.get(scene.name)
+        if g is None or self._geom_rev.get(scene.name) != len(scene.meshes()):
+            g = scene.raster_geometry()
+            g = jax.tree_util.tree_map(jax.device_put, g)
+            self._geom_cache[scene.name] = g
+            self._geom_rev[scene.name] = len(scene.meshes())
+        return g
+
+    def draw(self, primitive: Primitive = Primitive.TRIANGLES):
+        if primitive not in (Primitive.LINES, Primitive.TRIANGLES):
+            raise ValueError("Primitive Type is not supported!")
+        for scene in self.scenes.values():
+            geom = self._geometry(scene)
+            frame = scene.raster_frame()
+            if primitive == Primitive.TRIANGLES:
+                image, zbuf = render_raster_frame(
+                    geom, frame, self.height, self.width,
+                    tile=self.tile, chunk=self.chunk,
+                )
+            else:
+                image, zbuf = rasterize_wireframe(
+                    geom, frame, self.height, self.width
+                )
+            image = np.asarray(image)
+            zbuf = np.asarray(zbuf)
+            # multi-scene composition via shared z-buffer (Render.hpp:250-257)
+            nearer = zbuf < self.zbuffer
+            self.frame = np.where(nearer[..., None], image, self.frame)
+            self.zbuffer = np.minimum(zbuf, self.zbuffer)

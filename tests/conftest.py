@@ -1,16 +1,23 @@
 """Test config: force an 8-device virtual CPU mesh so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md section 4)."""
+paths are exercised without TPU hardware (SURVEY.md section 4).
+
+Note: this environment's sitecustomize pins JAX_PLATFORMS=axon (the real
+TPU tunnel), so env vars alone don't stick — we must also update
+jax.config after import. XLA_FLAGS still must be set before the first
+backend initialization.
+"""
 
 import os
 
-# Must be set before jax imports anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
