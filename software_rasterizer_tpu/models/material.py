@@ -46,9 +46,19 @@ class Material:
         return float(np.linalg.norm(self.emission)) > np.finfo(np.float32).eps
 
 
+try:
+    import jax
+
+    _register = jax.tree_util.register_dataclass
+except Exception:  # pragma: no cover - jax always present in this env
+    def _register(cls, **kw):
+        return cls
+
+
+@_register
 @dataclasses.dataclass
 class MaterialTable:
-    """Packed SoA material table for device integrators."""
+    """Packed SoA material table for device integrators (a jax pytree)."""
 
     type: np.ndarray       # (M,) i32
     ka: np.ndarray         # (M,3) f32

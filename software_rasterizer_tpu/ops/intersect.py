@@ -1,0 +1,300 @@
+"""Ray-scene intersection (reference: Triangle.cpp:104-145 Moller-Trumbore,
+Sphere.cpp:106-146 analytic quadratic, Scene.cpp:349-396 nearest-hit).
+
+TPU-first design: the reference's per-mesh BVH + TBB parallel_reduce over
+objects becomes a masked min-reduction over ALL primitives, streamed in
+chunks under `lax.scan` (VPU-vectorized, no divergent traversal). For the
+reference's scene sizes (<= 6K triangles) this brute-force sweep is at or
+above BVH speed on TPU (SURVEY.md 7.1); ops/bvh.py provides the scaling
+path for larger scenes.
+
+The scene arrives as an `RTScene` — transformed, SoA, device-resident —
+built per frame by `prepare_rt_scene` (the analog of Scene::updatePosition,
+Scene.cpp:882-901, minus the needless per-frame BVH rebuild).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from software_rasterizer_tpu.ops.raster import hom_transform
+from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
+
+BIG = jnp.float32(1e30)
+
+
+class RTScene(NamedTuple):
+    """Device-resident transformed scene (post P*V*M, perspective-divided —
+    the reference traces rays in this space, Triangle.cpp:215-231)."""
+
+    v0: jnp.ndarray        # (F,3)
+    v1: jnp.ndarray        # (F,3)
+    v2: jnp.ndarray        # (F,3)
+    n0: jnp.ndarray        # (F,3) normalized vertex normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray       # (F,2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    tri_mat: jnp.ndarray   # (F,) i32
+    tri_tex: jnp.ndarray   # (F,) i32 (-1 none)
+    tri_obj: jnp.ndarray   # (F,) i32
+    tri_valid: jnp.ndarray  # (F,) bool
+    sph_c: jnp.ndarray     # (S,3) transformed centers
+    sph_r: jnp.ndarray     # (S,) transformed radii
+    sph_mat: jnp.ndarray   # (S,) i32
+    sph_obj: jnp.ndarray   # (S,) i32
+    sph_valid: jnp.ndarray  # (S,) bool
+    mat_type: jnp.ndarray  # (M,) i32
+    mat_ka: jnp.ndarray    # (M,3)
+    mat_kd: jnp.ndarray
+    mat_ks: jnp.ndarray
+    mat_spec: jnp.ndarray  # (M,)
+    mat_ior: jnp.ndarray   # (M,)
+    mat_emit: jnp.ndarray  # (M,3)
+    emitter_center: jnp.ndarray  # (O,3) bbox centers per object
+    emitter_radius: jnp.ndarray  # (O,) |bbox diagonal|/2
+    emitter_mask: jnp.ndarray    # (O,) bool emissive object
+    textures: jnp.ndarray
+    tex_wh: jnp.ndarray
+    background: jnp.ndarray      # (3,)
+    eye: jnp.ndarray             # (3,)
+
+
+def prepare_rt_scene(geom, frame) -> RTScene:
+    """Transform geometry into trace space (Scene::updatePosition analog).
+
+    geom: models.scene.RTGeometry; frame: models.scene.RTFrame.
+    Runs on device inside jit; cheap relative to tracing.
+    """
+    m = frame.mvp[geom.vertex_mesh]
+    pos = hom_transform(m, geom.positions)
+    nm = frame.normal_mat3[geom.vertex_mesh]
+    nrm = jnp.einsum("vij,vj->vi", nm, geom.normals)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+
+    tv = pos[geom.faces]   # (F,3,3)
+    tn = nrm[geom.faces]
+    tuv = geom.uvs[geom.faces]
+
+    sc = hom_transform(frame.sph_mvp, geom.sph_center)
+    sr = geom.sph_radius * frame.sph_scale
+
+    # per-object emitter bounding spheres (sampleLight, Scene.cpp:398-476):
+    # bbox center + |diagonal|/2 over each object's transformed extent
+    n_obj = geom.obj_emissive.shape[0]
+    obj_ids = jnp.arange(n_obj, dtype=jnp.int32)
+
+    def obj_bounds(o):
+        tmask = (geom.tri_obj == o) & geom.face_valid
+        t3 = tmask[:, None, None]
+        lo_t = jnp.min(jnp.where(t3, tv, BIG), axis=(0, 1))
+        hi_t = jnp.max(jnp.where(t3, tv, -BIG), axis=(0, 1))
+        smask = (geom.sph_obj == o) & geom.sph_valid
+        lo_s = jnp.min(jnp.where(smask[:, None], sc - sr[:, None], BIG), axis=0)
+        hi_s = jnp.max(jnp.where(smask[:, None], sc + sr[:, None], -BIG), axis=0)
+        lo = jnp.minimum(lo_t, lo_s)
+        hi = jnp.maximum(hi_t, hi_s)
+        return (lo + hi) * 0.5, jnp.linalg.norm(hi - lo) * 0.5
+
+    centers, radii = jax.vmap(obj_bounds)(obj_ids)
+
+    mt = geom.materials
+    return RTScene(
+        v0=tv[:, 0], v1=tv[:, 1], v2=tv[:, 2],
+        n0=tn[:, 0], n1=tn[:, 1], n2=tn[:, 2],
+        uv0=tuv[:, 0], uv1=tuv[:, 1], uv2=tuv[:, 2],
+        tri_mat=geom.tri_mat, tri_tex=geom.tri_tex, tri_obj=geom.tri_obj,
+        tri_valid=geom.face_valid,
+        sph_c=sc, sph_r=sr, sph_mat=geom.sph_mat, sph_obj=geom.sph_obj,
+        sph_valid=geom.sph_valid,
+        mat_type=mt.type, mat_ka=mt.ka, mat_kd=mt.kd, mat_ks=mt.ks,
+        mat_spec=mt.spec_exp, mat_ior=mt.ior, mat_emit=mt.emission,
+        emitter_center=centers, emitter_radius=radii,
+        emitter_mask=jnp.asarray(geom.obj_emissive),
+        textures=geom.textures, tex_wh=geom.tex_wh,
+        background=frame.background, eye=frame.eye,
+    )
+
+
+class Hit(NamedTuple):
+    """Intersection record SoA (reference: Intersection.hpp:12-29)."""
+
+    hit: jnp.ndarray        # (N,) bool
+    t: jnp.ndarray          # (N,) f32 (BIG when miss)
+    is_sphere: jnp.ndarray  # (N,) bool
+    prim: jnp.ndarray       # (N,) i32 primitive index
+    bary_u: jnp.ndarray     # (N,) f32 (triangles)
+    bary_v: jnp.ndarray     # (N,)
+    coords: jnp.ndarray     # (N,3)
+    normal: jnp.ndarray     # (N,3) interpolated/analytic, normalized
+    color: jnp.ndarray      # (N,3) getDiffuseColor (tex/Kd); 0 for spheres
+    emit: jnp.ndarray       # (N,3)
+    mat: jnp.ndarray        # (N,) i32
+    obj: jnp.ndarray        # (N,) i32
+
+
+def _mt_chunk(orig, d, v0, v1, v2, valid):
+    """Moller-Trumbore for a chunk: rays (N,3) x tris (C,3) -> (N,C) t plus
+    (u, v). Reference thresholds: |det|<1e-6 and t<1e-6 reject
+    (Triangle.cpp:113,129)."""
+    e1 = v1 - v0                       # (C,3)
+    e2 = v2 - v0
+    p = jnp.cross(d[:, None, :], e2[None, :, :])      # (N,C,3)
+    det = jnp.sum(e1[None] * p, axis=-1)              # (N,C)
+    tvec = orig[:, None, :] - v0[None]                # (N,C,3)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
+    u = jnp.sum(tvec * p, axis=-1) * inv
+    q = jnp.cross(tvec, e1[None])
+    v = jnp.sum(d[:, None, :] * q, axis=-1) * inv
+    t = jnp.sum(e2[None] * q, axis=-1) * inv
+    ok = (
+        (jnp.abs(det) >= 1e-6)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= 1e-6)
+        & valid[None, :]
+    )
+    return jnp.where(ok, t, BIG), u, v
+
+
+def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512):
+    """Nearest triangle per ray via chunked masked min.
+
+    Returns (t, idx, u, v) each (N,); idx = -1 / t = BIG on miss.
+    """
+    f = v0.shape[0]
+    chunk = min(chunk, f)
+    if f % chunk:
+        pad = chunk - f % chunk
+        v0 = jnp.pad(v0, ((0, pad), (0, 0)))
+        v1 = jnp.pad(v1, ((0, pad), (0, 0)))
+        v2 = jnp.pad(v2, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+        f += pad
+    n_chunks = f // chunk
+    n = orig.shape[0]
+
+    def body(carry, ci):
+        bt, bi, bu, bv = carry
+        s = ci * chunk
+        t, u, v = _mt_chunk(
+            orig, d,
+            jax.lax.dynamic_slice(v0, (s, 0), (chunk, 3)),
+            jax.lax.dynamic_slice(v1, (s, 0), (chunk, 3)),
+            jax.lax.dynamic_slice(v2, (s, 0), (chunk, 3)),
+            jax.lax.dynamic_slice(valid, (s,), (chunk,)),
+        )
+        ct = jnp.min(t, axis=1)
+        ca = jnp.argmin(t, axis=1)
+        rows = jnp.arange(n)
+        cu = u[rows, ca]
+        cv = v[rows, ca]
+        better = ct < bt
+        return (
+            jnp.where(better, ct, bt),
+            jnp.where(better, ca.astype(jnp.int32) + s, bi),
+            jnp.where(better, cu, bu),
+            jnp.where(better, cv, bv),
+        ), None
+
+    init = (
+        jnp.full((n,), BIG),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,)),
+        jnp.zeros((n,)),
+    )
+    (t, i, u, v), _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    return t, jnp.where(t < BIG, i, -1), u, v
+
+
+def intersect_spheres(orig, d, centers, radii, valid, t_min: float = 0.0):
+    """Nearest sphere per ray (Sphere.cpp:106-146 numerically-stable roots).
+
+    Returns (t, idx) each (N,); t = BIG on miss. t_min=0 reproduces the
+    reference's strict t0 > 0 acceptance.
+    """
+    l = orig[:, None, :] - centers[None]              # (N,S,3)
+    a = jnp.sum(d * d, axis=-1)[:, None]              # (N,1)
+    b = 2.0 * jnp.sum(d[:, None, :] * l, axis=-1)     # (N,S)
+    c = jnp.sum(l * l, axis=-1) - (radii * radii)[None]
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # copysign(sq, b): +sq when b >= 0 (copysign(x, +0) is +x)
+    q = -0.5 * (b + jnp.where(b >= 0, sq, -sq))
+    q = jnp.where(q == 0.0, 1e-30, q)
+    x0 = q / a
+    x1 = c / q
+    both = (x0 > t_min) & (x1 > t_min)
+    t = jnp.where(both, jnp.minimum(x0, x1), jnp.where(x0 > t_min, x0, x1))
+    ok = (disc >= 0.0) & (t > t_min) & valid[None]
+    t = jnp.where(ok, t, BIG)
+    bt = jnp.min(t, axis=1)
+    bi = jnp.argmin(t, axis=1).astype(jnp.int32)
+    return bt, jnp.where(bt < BIG, bi, -1)
+
+
+def nearest_hit(scene: RTScene, orig, d, chunk: int = 512, sphere_t_min: float = 0.0) -> Hit:
+    """Scene::traceScene (Scene.cpp:349-396): nearest over all primitives,
+    then surface properties of the winner (barycentric normal/uv + diffuse
+    color for triangles, analytic normal + zero color for spheres)."""
+    tt, ti, tu, tv = intersect_triangles(
+        orig, d, scene.v0, scene.v1, scene.v2, scene.tri_valid, chunk
+    )
+    st, si = intersect_spheres(
+        orig, d, scene.sph_c, scene.sph_r, scene.sph_valid, sphere_t_min
+    )
+    use_s = st < tt
+    t = jnp.where(use_s, st, tt)
+    hit = t < BIG
+
+    tidx = jnp.maximum(ti, 0)
+    sidx = jnp.maximum(si, 0)
+
+    coords = orig + d * t[:, None]
+
+    # triangle surface properties (Triangle.cpp:160-177)
+    w = 1.0 - tu - tv
+    tn = (
+        w[:, None] * scene.n0[tidx]
+        + tu[:, None] * scene.n1[tidx]
+        + tv[:, None] * scene.n2[tidx]
+    )
+    tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-20)
+    tuv_i = (
+        w[:, None] * scene.uv0[tidx]
+        + tu[:, None] * scene.uv1[tidx]
+        + tv[:, None] * scene.uv2[tidx]
+    )
+    tex = scene.tri_tex[tidx]
+    tcol = jnp.where(
+        (tex >= 0)[:, None],
+        fetch_nearest(scene.textures, scene.tex_wh, tex, tuv_i),
+        scene.mat_kd[scene.tri_mat[tidx]],
+    )
+
+    # sphere surface properties (Sphere.cpp:148-154): normal only,
+    # Properties.color stays (0,0,0) — faithful quirk (Object.hpp:36-40)
+    sn = coords - scene.sph_c[sidx]
+    sn = sn / jnp.maximum(jnp.linalg.norm(sn, axis=-1, keepdims=True), 1e-20)
+
+    mat = jnp.where(use_s, scene.sph_mat[sidx], scene.tri_mat[tidx])
+    obj = jnp.where(use_s, scene.sph_obj[sidx], scene.tri_obj[tidx])
+    return Hit(
+        hit=hit,
+        t=t,
+        is_sphere=use_s,
+        prim=jnp.where(use_s, sidx, tidx),
+        bary_u=tu,
+        bary_v=tv,
+        coords=coords,
+        normal=jnp.where(use_s[:, None], sn, tn),
+        color=jnp.where(use_s[:, None], 0.0, tcol),
+        emit=scene.mat_emit[mat],
+        mat=mat,
+        obj=obj,
+    )

@@ -7,3 +7,4 @@ from software_rasterizer_tpu.render.pipeline import (  # noqa: F401
     RenderingPipeline,
 )
 from software_rasterizer_tpu.render.rasterizer import TraditionalRasterizer  # noqa: F401
+from software_rasterizer_tpu.render.raytracer import RayTracing  # noqa: F401
