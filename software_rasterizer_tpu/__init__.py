@@ -25,4 +25,13 @@ Layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# TPU compiles of the deeply-scanned integrators are expensive (minutes);
+# the persistent cache makes every process after the first start in
+# milliseconds. Opt out by setting the env var to an empty string.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/srtpu_jax")
+)
+
 from software_rasterizer_tpu.config import RenderConfig  # noqa: F401

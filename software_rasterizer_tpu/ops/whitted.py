@@ -107,15 +107,10 @@ def _compact(children: dict, capacity: int) -> dict:
     return {k: v[order] for k, v in children.items()}
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "block", "chunk", "queue_factor"),
-)
-def whitted_render(
+def whitted_trace(
     scene: RTScene,
-    width: int,
-    height: int,
-    fovy: float,
+    orig,
+    d,
     key,
     spp: int = 1,
     max_depth: int = 5,
@@ -123,9 +118,11 @@ def whitted_render(
     chunk: int = 512,
     queue_factor: int = 2,
 ):
-    """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp)."""
-    n = width * height
-    orig, d = camera_rays(scene.eye, fovy, width, height)
+    """Trace one Whitted sample tree per lane. orig/d: (N,3) normalized
+    camera rays. Returns (N,3) radiance. (Scene::whittedRayTracing per
+    ray; the lane set may be any subset of the framebuffer, which is how
+    parallel/render.py shards the screen across devices.)"""
+    n = orig.shape[0]
     img = jnp.zeros((n, 3))
 
     rays = {
@@ -199,4 +196,28 @@ def whitted_render(
         }
         rays = _compact(children, min(n * queue_factor, children["live"].shape[0]))
 
+    return img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "block", "chunk", "queue_factor"),
+)
+def whitted_render(
+    scene: RTScene,
+    width: int,
+    height: int,
+    fovy: float,
+    key,
+    spp: int = 1,
+    max_depth: int = 5,
+    block: int = 8192,
+    chunk: int = 512,
+    queue_factor: int = 2,
+):
+    """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp)."""
+    orig, d = camera_rays(scene.eye, fovy, width, height)
+    img = whitted_trace(
+        scene, orig, d, key, spp, max_depth, block, chunk, queue_factor
+    )
     return img.reshape(height, width, 3)

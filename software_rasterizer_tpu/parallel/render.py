@@ -1,0 +1,157 @@
+"""Sharded render drivers: `shard_map` over a ("spp", "tile") RenderMesh
+(the TPU-native replacement for the reference's single-node TBB tiling,
+SURVEY.md 2.9 / 5.8).
+
+Design:
+  * geometry (RTScene) is REPLICATED (tiny for the reference workloads);
+  * camera-ray lanes are sharded along the mesh's tile axis (whitted:
+    along ALL devices — its sample loop is deterministic so the spp axis
+    folds into the tile axis);
+  * path tracing additionally splits the spp range across the spp axis:
+    each device accumulates a partial sum-image keyed by ABSOLUTE sample
+    and block indices, then one `psum` over ICI merges the shards —
+    bit-identical per-sample radiance vs. the single-device render (the
+    only fp difference is the final sum's association order);
+  * outputs return sharded along lanes (tile axis), so a subsequent
+    device-side tonemap/encode stays distributed; `np.asarray` gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from software_rasterizer_tpu.ops.camera import camera_rays
+from software_rasterizer_tpu.ops.intersect import RTScene
+from software_rasterizer_tpu.ops.path import _blocked_path_trace
+from software_rasterizer_tpu.ops.whitted import whitted_trace
+from software_rasterizer_tpu.parallel.mesh import RenderMesh
+
+
+def _replicated_specs(tree):
+    return jax.tree_util.tree_map(lambda _: P(), tree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rmesh", "width", "height", "spp", "p_rr", "max_bounces", "block", "chunk"
+    ),
+)
+def sharded_path_render(
+    scene: RTScene,
+    rmesh: RenderMesh,
+    width: int,
+    height: int,
+    fovy: float,
+    key,
+    spp: int = 16,
+    p_rr: float = 0.8,
+    max_bounces: int = 16,
+    block: int = 8192,
+    chunk: int = 512,
+):
+    """Path-trace with lanes sharded over `tile` and the spp range over
+    `spp`. Returns (H,W,3) mean radiance.
+
+    Constraints (static-shape sharding): spp % n_spp == 0 and the lane
+    count width*height must divide evenly into n_tile * block-aligned
+    shards (pad the framebuffer or pick block accordingly).
+    """
+    mesh = rmesh.mesh
+    n_spp, n_tile = rmesh.n_spp, rmesh.n_tile
+    n = width * height
+    if spp % n_spp:
+        raise ValueError(f"spp={spp} not divisible by mesh spp axis {n_spp}")
+    if n % n_tile:
+        raise ValueError(f"{n} pixels not divisible by tile axis {n_tile}")
+    lanes_per = n // n_tile
+    spp_per = spp // n_spp
+    if lanes_per % block and lanes_per > block:
+        raise ValueError("block must divide the per-device lane count")
+
+    orig, d = camera_rays(scene.eye, fovy, width, height)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_replicated_specs(scene), P("tile"), P("tile")),
+        out_specs=P("tile"),
+        check_vma=False,  # scan carries mix invariant inits w/ varying lanes
+    )
+    def run(sc, o_loc, d_loc):
+        tile_i = jax.lax.axis_index("tile")
+        spp_i = jax.lax.axis_index("spp")
+        # absolute block offset of this device's first lane (aligns the
+        # per-block RNG keys with the monolithic blocked render)
+        blk0 = tile_i * max(lanes_per // block, 1)
+
+        def body(acc, s):
+            abs_s = spp_i * spp_per + s
+            ks = jax.random.fold_in(key, abs_s)
+            rad = _blocked_path_trace(
+                sc, o_loc, d_loc, ks, p_rr, max_bounces, block, chunk,
+                block_offset=blk0,
+            )
+            return acc + rad, None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros_like(o_loc), jnp.arange(spp_per, dtype=jnp.int32)
+        )
+        return jax.lax.psum(acc, "spp")
+
+    img_sum = run(scene, orig, d)
+    return (img_sum / float(spp)).reshape(height, width, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rmesh", "width", "height", "spp", "max_depth", "block", "chunk",
+        "queue_factor",
+    ),
+)
+def sharded_whitted_render(
+    scene: RTScene,
+    rmesh: RenderMesh,
+    width: int,
+    height: int,
+    fovy: float,
+    key,
+    spp: int = 1,
+    max_depth: int = 5,
+    block: int = 8192,
+    chunk: int = 512,
+    queue_factor: int = 2,
+):
+    """Whitted render with framebuffer lanes sharded across ALL devices
+    (both mesh axes flattened — the integrator is deterministic per lane,
+    so there is no sample axis to split). Returns (H,W,3)."""
+    mesh = rmesh.mesh
+    n = width * height
+    n_dev = rmesh.n_devices
+    if n % n_dev:
+        raise ValueError(f"{n} pixels not divisible by {n_dev} devices")
+
+    orig, d = camera_rays(scene.eye, fovy, width, height)
+    lane_spec = P(("spp", "tile"))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(_replicated_specs(scene), lane_spec, lane_spec),
+        out_specs=lane_spec,
+        check_vma=False,
+    )
+    def run(sc, o_loc, d_loc):
+        return whitted_trace(
+            sc, o_loc, d_loc, key, spp, max_depth, block, chunk, queue_factor
+        )
+
+    img = run(scene, orig, d)
+    return img.reshape(height, width, 3)

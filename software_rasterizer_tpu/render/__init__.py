@@ -6,5 +6,6 @@ from software_rasterizer_tpu.render.pipeline import (  # noqa: F401
     Primitive,
     RenderingPipeline,
 )
+from software_rasterizer_tpu.render.pathtracer import PathTracing  # noqa: F401
 from software_rasterizer_tpu.render.rasterizer import TraditionalRasterizer  # noqa: F401
 from software_rasterizer_tpu.render.raytracer import RayTracing  # noqa: F401

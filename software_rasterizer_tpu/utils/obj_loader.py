@@ -123,53 +123,60 @@ def _angle_weighted_normal(pa: np.ndarray, pb: np.ndarray, pc: np.ndarray) -> np
 
 def load_obj(path: str, name: str = "") -> MeshData:
     """Load an OBJ file into deduplicated SoA arrays."""
+    with open(path, "r", errors="replace") as f:
+        return load_obj_source(
+            f.read(), name=name or os.path.basename(path),
+            base_dir=os.path.dirname(path),
+        )
+
+
+def load_obj_source(text: str, name: str = "", base_dir: str = "") -> MeshData:
+    """Parse OBJ content from a string (same pipeline as `load_obj`)."""
     positions: List[Tuple[float, float, float]] = []
     normals_in: List[Tuple[float, float, float]] = []
     uvs_in: List[Tuple[float, float]] = []
     face_corners: List[Tuple[int, int, int]] = []  # (v, vt, vn) indices, -1 = absent
     mtl_files: List[str] = []
-    obj_name = name
+    obj_name = ""
 
-    with open(path, "r", errors="replace") as f:
-        for raw in f:
-            line = raw.strip()
-            if not line or line.startswith("#"):
-                continue
-            parts = line.split()
-            key, vals = parts[0], parts[1:]
-            if key == "v":
-                positions.append(tuple(float(v) for v in vals[:3]))
-            elif key == "vn":
-                normals_in.append(tuple(float(v) for v in vals[:3]))
-            elif key == "vt":
-                uvs_in.append(tuple(float(v) for v in vals[:2]))
-            elif key == "mtllib":
-                mtl_files.extend(vals)
-            elif key in ("o", "g") and not obj_name and vals:
-                obj_name = vals[0]
-            elif key == "f":
-                corners = []
-                for tok in vals:
-                    fields = tok.split("/")
-                    vi = int(fields[0])
-                    ti = int(fields[1]) if len(fields) > 1 and fields[1] else 0
-                    ni = int(fields[2]) if len(fields) > 2 and fields[2] else 0
-                    # OBJ is 1-based; negatives are relative to current count.
-                    vi = vi - 1 if vi > 0 else len(positions) + vi
-                    ti = ti - 1 if ti > 0 else (len(uvs_in) + ti if ti < 0 else -1)
-                    ni = ni - 1 if ni > 0 else (len(normals_in) + ni if ni < 0 else -1)
-                    corners.append((vi, ti, ni))
-                # fan triangulation (tinyobj default for polygons)
-                for k in range(1, len(corners) - 1):
-                    face_corners.append(corners[0])
-                    face_corners.append(corners[k])
-                    face_corners.append(corners[k + 1])
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        key, vals = parts[0], parts[1:]
+        if key == "v":
+            positions.append(tuple(float(v) for v in vals[:3]))
+        elif key == "vn":
+            normals_in.append(tuple(float(v) for v in vals[:3]))
+        elif key == "vt":
+            uvs_in.append(tuple(float(v) for v in vals[:2]))
+        elif key == "mtllib":
+            mtl_files.extend(vals)
+        elif key in ("o", "g") and not obj_name and vals:
+            obj_name = vals[0]
+        elif key == "f":
+            corners = []
+            for tok in vals:
+                fields = tok.split("/")
+                vi = int(fields[0])
+                ti = int(fields[1]) if len(fields) > 1 and fields[1] else 0
+                ni = int(fields[2]) if len(fields) > 2 and fields[2] else 0
+                # OBJ is 1-based; negatives are relative to current count.
+                vi = vi - 1 if vi > 0 else len(positions) + vi
+                ti = ti - 1 if ti > 0 else (len(uvs_in) + ti if ti < 0 else -1)
+                ni = ni - 1 if ni > 0 else (len(normals_in) + ni if ni < 0 else -1)
+                corners.append((vi, ti, ni))
+            # fan triangulation (tinyobj default for polygons)
+            for k in range(1, len(corners) - 1):
+                face_corners.append(corners[0])
+                face_corners.append(corners[k])
+                face_corners.append(corners[k + 1])
 
     # MTL: resolve relative to the OBJ's directory; keep last material.
     mats: Dict[str, MtlMaterial] = {}
-    base = os.path.dirname(path)
     for mf in mtl_files:
-        mp = os.path.join(base, mf)
+        mp = os.path.join(base_dir, mf)
         if os.path.exists(mp):
             mats.update(parse_mtl(mp))
     material = _last_material(mats)
@@ -227,7 +234,7 @@ def load_obj(path: str, name: str = "") -> MeshData:
             normals[c] = _angle_weighted_normal(pc, pa, pb)
 
     return MeshData(
-        name=name or obj_name or os.path.basename(path),
+        name=name or obj_name or "mesh",
         vertices=vertices,
         normals=normals,
         uvs=uvs,

@@ -1,0 +1,90 @@
+"""Sharded rendering on the 8-device virtual CPU mesh (conftest.py):
+device-count invariance of the path tracer's RNG/accumulation and
+tile-sharded Whitted equivalence (SURVEY.md section 4: 1-device and
+N-device renders must agree)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
+from software_rasterizer_tpu.ops.path import path_render
+from software_rasterizer_tpu.ops.whitted import whitted_render
+from software_rasterizer_tpu.parallel import (
+    make_render_mesh,
+    sharded_path_render,
+    sharded_whitted_render,
+)
+from software_rasterizer_tpu.scenes import build_cornell_scene
+
+W = H = 32
+BLOCK = W * H // 8  # 8 aligned lane blocks across the frame
+
+
+@pytest.fixture(scope="module")
+def cornell_rt():
+    scene = build_cornell_scene()
+    scene.set_ndc_matrix(W, H)
+    return scene, prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+
+
+def test_mesh_construction():
+    m = make_render_mesh(n_spp=2)
+    assert m.n_spp == 2 and m.n_tile == 4 and m.n_devices == 8
+    m1 = make_render_mesh(n_spp=1, n_tile=1, devices=jax.devices()[:1])
+    assert m1.n_devices == 1
+
+
+def test_path_sharded_matches_single_device(cornell_rt):
+    """(spp=2, tile=4) sharded render == single-device render with the
+    same absolute sample/block RNG keys (fp-tolerance: psum order)."""
+    scene, rt = cornell_rt
+    key = jax.random.PRNGKey(42)
+    spp = 4
+
+    mono = path_render(rt, W, H, scene.fovy, key, spp=spp,
+                       block=BLOCK, max_bounces=8)
+    m1 = make_render_mesh(n_spp=1, n_tile=1, devices=jax.devices()[:1])
+    one = sharded_path_render(rt, m1, W, H, scene.fovy, key, spp=spp,
+                              block=BLOCK, max_bounces=8)
+    m8 = make_render_mesh(n_spp=2, n_tile=4)
+    many = sharded_path_render(rt, m8, W, H, scene.fovy, key, spp=spp,
+                               block=BLOCK, max_bounces=8)
+
+    np.testing.assert_allclose(np.array(one), np.array(mono), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.array(many), np.array(mono), rtol=1e-4, atol=1e-4)
+
+
+def test_path_sharded_tile_counts(cornell_rt):
+    """Different tile-axis widths agree when lane blocks stay aligned."""
+    scene, rt = cornell_rt
+    key = jax.random.PRNGKey(3)
+    m2 = make_render_mesh(n_spp=1, n_tile=2, devices=jax.devices()[:2])
+    m8t = make_render_mesh(n_spp=1, n_tile=8)
+    a = sharded_path_render(rt, m2, W, H, scene.fovy, key, spp=2,
+                            block=BLOCK, max_bounces=8)
+    b = sharded_path_render(rt, m8t, W, H, scene.fovy, key, spp=2,
+                            block=BLOCK, max_bounces=8)
+    np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-4, atol=1e-4)
+
+
+def test_whitted_sharded_matches_single_device(cornell_rt):
+    scene, rt = cornell_rt
+    key = jax.random.PRNGKey(0)
+    mono = whitted_render(rt, W, H, scene.fovy, key, spp=1, max_depth=3)
+    m8 = make_render_mesh(n_spp=2, n_tile=4)
+    shard = sharded_whitted_render(rt, m8, W, H, scene.fovy, key, spp=1,
+                                   max_depth=3)
+    # Whitted is deterministic per lane except the per-depth emitter key,
+    # which is lane-independent -> results must match exactly
+    np.testing.assert_allclose(np.array(shard), np.array(mono), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_validation_errors(cornell_rt):
+    scene, rt = cornell_rt
+    m8 = make_render_mesh(n_spp=2, n_tile=4)
+    with pytest.raises(ValueError, match="spp"):
+        sharded_path_render(rt, m8, W, H, scene.fovy, jax.random.PRNGKey(0),
+                            spp=3, block=BLOCK)

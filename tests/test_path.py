@@ -1,0 +1,190 @@
+"""Path tracer tests: Cornell statistical properties, progressive
+accumulation determinism, and checkpoint/resume (SURVEY.md section 4:
+stochastic goldens compare converged statistics, not pixels)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from software_rasterizer_tpu.models.scene import Scene
+from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
+from software_rasterizer_tpu.ops.path import path_render
+from software_rasterizer_tpu.render.pathtracer import PathTracing
+from software_rasterizer_tpu.render.pipeline import Primitive
+from software_rasterizer_tpu.scenes import build_cornell_scene
+
+W = H = 32
+
+
+@pytest.fixture(scope="module")
+def cornell_rt():
+    scene = build_cornell_scene()
+    scene.set_ndc_matrix(W, H)
+    geom = scene.rt_geometry()
+    return scene, prepare_rt_scene(geom, scene.rt_frame())
+
+
+def test_cornell_geometry_counts():
+    scene = build_cornell_scene()
+    geom = scene.rt_geometry()
+    assert int(geom.face_valid.sum()) == 36  # 6 quads*2 + 2 boxes*12
+    assert geom.obj_emissive.sum() == 1  # only the light
+
+
+def test_cornell_render_statistics(cornell_rt):
+    scene, rt = cornell_rt
+    raw = np.array(
+        path_render(rt, W, H, scene.fovy, jax.random.PRNGKey(0), spp=32)
+    )
+    assert np.isfinite(raw).all()
+    assert (raw >= 0).all()
+    img = np.clip(raw, 0.0, 1.0)  # Tools::normalizedToRGB clamp
+    # the floor (direct NEE light) outshines the ceiling band, which the
+    # downward-facing emitter lights only indirectly
+    assert img[H // 2 : 3 * H // 4].mean() > img[2 : H // 8].mean()
+    # interior receives light: mean well above black
+    interior = img[H // 3 : 2 * H // 3, W // 3 : 2 * W // 3]
+    assert interior.mean() > 0.05
+    # left wall is red: red channel dominates green
+    left = img[H // 2, 2:5]
+    assert left[:, 0].mean() > 2.0 * left[:, 1].mean()
+    # right wall is green: green channel dominates red
+    right = img[H // 2, W - 5 : W - 2]
+    assert right[:, 1].mean() > 2.0 * right[:, 0].mean()
+
+
+def test_path_render_deterministic(cornell_rt):
+    scene, rt = cornell_rt
+    a = path_render(rt, W, H, scene.fovy, jax.random.PRNGKey(7), spp=2)
+    b = path_render(rt, W, H, scene.fovy, jax.random.PRNGKey(7), spp=2)
+    np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+def test_blocked_equals_unblocked(cornell_rt):
+    scene, rt = cornell_rt
+    a = path_render(rt, W, H, scene.fovy, jax.random.PRNGKey(3), spp=8,
+                    block=1 << 16)
+    b = path_render(rt, W, H, scene.fovy, jax.random.PRNGKey(3), spp=8,
+                    block=W * H // 4)
+    # blocked tracing only changes the lane batching, not the math, but
+    # block ids key the RNG, so compare clamped statistics (the clamp
+    # removes the unbounded-variance NEE fireflies, SURVEY.md 7.3)
+    ca = float(jnp.mean(jnp.clip(a, 0.0, 1.0)))
+    cb = float(jnp.mean(jnp.clip(b, 0.0, 1.0)))
+    assert abs(ca - cb) < 0.05
+
+
+def test_progressive_accumulation_matches_monolithic():
+    pt = PathTracing(W, H, spp=4, seed=11)
+    scene = build_cornell_scene()
+    pt.add_scene(scene)
+    pt.accumulate("CornellBox", 2)
+    pt.accumulate("CornellBox", 2)
+    progressive = pt.resolve("CornellBox").copy()
+    assert pt.samples_done("CornellBox") == 4
+
+    pt2 = PathTracing(W, H, spp=4, seed=11)
+    pt2.add_scene(build_cornell_scene())
+    pt2.accumulate("CornellBox", 4)
+    np.testing.assert_allclose(
+        progressive, pt2.resolve("CornellBox"), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pt = PathTracing(W, H, spp=4, seed=5)
+    pt.add_scene(build_cornell_scene())
+    pt.accumulate("CornellBox", 2)
+    ckpt = str(tmp_path / "accum.npz")
+    pt.save_checkpoint("CornellBox", ckpt)
+
+    pt2 = PathTracing(W, H, spp=4, seed=5)
+    pt2.add_scene(build_cornell_scene())
+    pt2.load_checkpoint("CornellBox", ckpt)
+    assert pt2.samples_done("CornellBox") == 2
+    pt.accumulate("CornellBox", 2)
+    pt2.accumulate("CornellBox", 2)
+    np.testing.assert_allclose(
+        pt.resolve("CornellBox"), pt2.resolve("CornellBox"), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_draw_api(cornell_rt):
+    pt = PathTracing(W, H, spp=2)
+    pt.add_scene(build_cornell_scene())
+    frame = pt.display(Primitive.TRIANGLES)
+    assert frame.shape == (H, W, 3) and frame.dtype == np.uint8
+    assert frame.max() > 100  # the light is visibly bright
+
+
+def test_integrator_matches_scalar_oracle(cornell_rt):
+    """Wavefront integrator vs a literal scalar implementation of the
+    reference recursion (tests/oracle_path.py), compared statistically
+    per pixel (different RNG streams; agreement within Monte-Carlo
+    standard error)."""
+    from software_rasterizer_tpu.ops.camera import camera_rays
+    from software_rasterizer_tpu.ops.path import path_trace
+
+    import oracle_path as op
+
+    scene, rt = cornell_rt
+    s = op.np_scene(rt)
+    orig, d = camera_rays(rt.eye, scene.fovy, W, H)
+    orig_np, d_np = np.asarray(orig), np.asarray(d)
+
+    # pixels on: floor, left wall, right wall, back wall, tall box
+    pixels = [(26, 16), (16, 4), (16, 27), (12, 16), (18, 21)]
+    lanes = [py * W + px for py, px in pixels]
+    n_samp = 500
+    max_b = 16
+
+    # oracle means + standard errors
+    rng = np.random.default_rng(123)
+    o_mean, o_se = [], []
+    for lane in lanes:
+        vals = np.array([
+            op.path_trace_pixel(s, orig_np[lane], d_np[lane], rng,
+                                p_rr=0.8, max_depth=max_b)
+            for _ in range(n_samp)
+        ])
+        o_mean.append(vals.mean(0))
+        o_se.append(vals.std(0) / np.sqrt(n_samp))
+
+    # wavefront means: n_samp samples over the 5 selected lanes
+    import functools
+
+    pt = jax.jit(functools.partial(path_trace, p_rr=0.8, max_bounces=max_b))
+    lo = jnp.asarray(orig_np[lanes])
+    ld = jnp.asarray(d_np[lanes])
+    acc = np.zeros((len(lanes), 3))
+    sq = np.zeros((len(lanes), 3))
+    for smp in range(n_samp):
+        r = np.asarray(pt(
+            rt, lo, ld, jax.random.fold_in(jax.random.PRNGKey(9), smp),
+        ))
+        acc += r
+        sq += r * r
+    w_mean = acc / n_samp
+    w_se = np.sqrt(np.maximum(sq / n_samp - w_mean**2, 0.0) / n_samp)
+
+    for i, (py, px) in enumerate(pixels):
+        se = np.sqrt(np.asarray(o_se[i]) ** 2 + w_se[i] ** 2)
+        tol = 5.0 * se + 0.05 + 0.1 * np.abs(o_mean[i])
+        assert np.all(np.abs(w_mean[i] - o_mean[i]) < tol), (
+            f"pixel {(py, px)}: oracle {o_mean[i]} vs wavefront {w_mean[i]}"
+            f" (tol {tol})"
+        )
+
+
+def test_variance_decreases_with_spp(cornell_rt):
+    """Monte-Carlo convergence: pixel noise shrinks as spp grows."""
+    scene, rt = cornell_rt
+
+    def noise(spp, key):
+        a = np.array(path_render(rt, W, H, scene.fovy, jax.random.PRNGKey(key), spp=spp))
+        b = np.array(path_render(rt, W, H, scene.fovy, jax.random.PRNGKey(key + 100), spp=spp))
+        return np.abs(a - b).mean()
+
+    assert noise(16, 1) < noise(1, 2)
