@@ -359,7 +359,12 @@ class Scene:
             light_int=li,
         )
 
-    def rt_geometry(self, pad_faces_to: int = 128) -> RTGeometry:
+    def rt_geometry(self, pad_faces_to: int = 128, bvh_order: bool = True) -> RTGeometry:
+        """Flatten to trace arrays. `bvh_order` permutes the global face
+        list into BVH leaf (DFS) order so fixed-size face chunks are
+        spatially tight — the top level of the vectorized two-level BVH
+        (ops/bvh.py); chunk AABB culling in ops/intersect.py then skips
+        whole (ray-block x chunk) tiles."""
         meshes = self.meshes()
         spheres = self.spheres()
         objs = self._sorted_objects()
@@ -398,6 +403,14 @@ class Scene:
             nrm = np.concatenate(normals).astype(np.float32)
             uv = np.concatenate(uvs).astype(np.float32)
             vm = np.concatenate(vmesh)
+            if bvh_order and f.shape[0] > 2:
+                from software_rasterizer_tpu.ops import bvh as bvh_mod
+
+                tv = pos[f]
+                lo, hi = bvh_mod.primitive_bounds(tv[:, 0], tv[:, 1], tv[:, 2])
+                areas = bvh_mod.triangle_areas(tv[:, 0], tv[:, 1], tv[:, 2])
+                perm = bvh_mod.leaf_order(bvh_mod.build_bvh(lo, hi, areas))
+                f, fm, tm, tt, to = f[perm], fm[perm], tm[perm], tt[perm], to[perm]
         else:
             f = np.zeros((0, 3), np.int32)
             fm = tm = tt = to = np.zeros(0, np.int32)

@@ -59,6 +59,8 @@ class RTScene(NamedTuple):
     emitter_center: jnp.ndarray  # (O,3) bbox centers per object
     emitter_radius: jnp.ndarray  # (O,) |bbox diagonal|/2
     emitter_mask: jnp.ndarray    # (O,) bool emissive object
+    emitter_order: jnp.ndarray   # (O,) i32 object ids, emissive first
+    n_emitters: jnp.ndarray      # () i32
     textures: jnp.ndarray
     tex_wh: jnp.ndarray
     background: jnp.ndarray      # (3,)
@@ -116,6 +118,8 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         mat_spec=mt.spec_exp, mat_ior=mt.ior, mat_emit=mt.emission,
         emitter_center=centers, emitter_radius=radii,
         emitter_mask=jnp.asarray(geom.obj_emissive),
+        emitter_order=jnp.argsort(~jnp.asarray(geom.obj_emissive), stable=True).astype(jnp.int32),
+        n_emitters=jnp.sum(jnp.asarray(geom.obj_emissive).astype(jnp.int32)),
         textures=geom.textures, tex_wh=geom.tex_wh,
         background=frame.background, eye=frame.eye,
     )
@@ -139,19 +143,42 @@ class Hit(NamedTuple):
 
 
 def _mt_chunk(orig, d, v0, v1, v2, valid):
-    """Moller-Trumbore for a chunk: rays (N,3) x tris (C,3) -> (N,C) t plus
-    (u, v). Reference thresholds: |det|<1e-6 and t<1e-6 reject
-    (Triangle.cpp:113,129)."""
-    e1 = v1 - v0                       # (C,3)
+    """Moller-Trumbore for a chunk: rays (N,3) x tris (C,3) -> (N,C) t
+    (BIG on reject). Reference thresholds: |det|<1e-6 and t<1e-6 reject
+    (Triangle.cpp:113,129). Only t leaves the chunk loop — u/v are
+    recomputed for the single winning triangle afterwards (`_mt_uv`), so
+    the whole chunk chain fuses into one masked min-reduction with no
+    (N,C) materialization.
+
+    Component-SoA form: every intermediate is a well-tiled (N,C) plane.
+    (A vector-minor layout like (N,C,3) leaves 125 of 128 VPU lanes idle
+    per op — the 3-vectors are unrolled into scalar planes instead.)
+    """
+    ox, oy, oz = orig[:, 0:1], orig[:, 1:2], orig[:, 2:3]      # (N,1)
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    e1 = v1 - v0                                               # (C,3)
     e2 = v2 - v0
-    p = jnp.cross(d[:, None, :], e2[None, :, :])      # (N,C,3)
-    det = jnp.sum(e1[None] * p, axis=-1)              # (N,C)
-    tvec = orig[:, None, :] - v0[None]                # (N,C,3)
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]  # (1,C)
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]
+
+    # p = d x e2
+    px = dy * e2z - dz * e2y                                   # (N,C)
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv = 1.0 / jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
-    u = jnp.sum(tvec * p, axis=-1) * inv
-    q = jnp.cross(tvec, e1[None])
-    v = jnp.sum(d[:, None, :] * q, axis=-1) * inv
-    t = jnp.sum(e2[None] * q, axis=-1) * inv
+
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z                  # tvec (N,C)
+    u = (tx * px + ty * py + tz * pz) * inv
+
+    # q = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+
     ok = (
         (jnp.abs(det) >= 1e-6)
         & (u >= 0.0) & (u <= 1.0)
@@ -159,13 +186,35 @@ def _mt_chunk(orig, d, v0, v1, v2, valid):
         & (t >= 1e-6)
         & valid[None, :]
     )
-    return jnp.where(ok, t, BIG), u, v
+    return jnp.where(ok, t, BIG)
 
 
-def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512):
+def _mt_uv(orig, d, v0, v1, v2):
+    """Barycentric (u, v) of rays (N,3) against their per-ray winning
+    triangle (N,3) — the O(N) epilogue of `intersect_triangles`."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = jnp.cross(d, e2)
+    det = jnp.sum(e1 * p, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
+    tvec = orig - v0
+    u = jnp.sum(tvec * p, axis=-1) * inv
+    q = jnp.cross(tvec, e1)
+    v = jnp.sum(d * q, axis=-1) * inv
+    return u, v
+
+
+def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512,
+                        cull_chunks: bool = True):
     """Nearest triangle per ray via chunked masked min.
 
     Returns (t, idx, u, v) each (N,); idx = -1 / t = BIG on miss.
+
+    `cull_chunks`: two-level vectorized BVH (ops/bvh.py) — when no ray of
+    this block enters a chunk's AABB, the whole (rays x chunk) tile is
+    skipped with `lax.cond`. Exact: the slab test is conservative, so
+    skipped chunks contain no hits. Pays off when triangles are in
+    spatially-coherent (BVH leaf) order and the scene spans many chunks.
     """
     f = v0.shape[0]
     chunk = min(chunk, f)
@@ -178,11 +227,20 @@ def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512):
         f += pad
     n_chunks = f // chunk
     n = orig.shape[0]
+    cull = cull_chunks and n_chunks > 1
 
-    def body(carry, ci):
-        bt, bi, bu, bv = carry
-        s = ci * chunk
-        t, u, v = _mt_chunk(
+    if cull:
+        from software_rasterizer_tpu.ops.bvh import slab_test
+
+        m3 = valid[:, None]
+        lo3 = jnp.where(m3, jnp.minimum(jnp.minimum(v0, v1), v2), BIG)
+        hi3 = jnp.where(m3, jnp.maximum(jnp.maximum(v0, v1), v2), -BIG)
+        chunk_lo = lo3.reshape(n_chunks, chunk, 3).min(1)   # (nc,3)
+        chunk_hi = hi3.reshape(n_chunks, chunk, 3).max(1)
+
+    def compute(carry, s):
+        bt, bi = carry
+        t = _mt_chunk(
             orig, d,
             jax.lax.dynamic_slice(v0, (s, 0), (chunk, 3)),
             jax.lax.dynamic_slice(v1, (s, 0), (chunk, 3)),
@@ -190,25 +248,27 @@ def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512):
             jax.lax.dynamic_slice(valid, (s,), (chunk,)),
         )
         ct = jnp.min(t, axis=1)
-        ca = jnp.argmin(t, axis=1)
-        rows = jnp.arange(n)
-        cu = u[rows, ca]
-        cv = v[rows, ca]
+        ca = jnp.argmin(t, axis=1).astype(jnp.int32) + s
         better = ct < bt
-        return (
-            jnp.where(better, ct, bt),
-            jnp.where(better, ca.astype(jnp.int32) + s, bi),
-            jnp.where(better, cu, bu),
-            jnp.where(better, cv, bv),
-        ), None
+        return (jnp.where(better, ct, bt), jnp.where(better, ca, bi))
 
-    init = (
-        jnp.full((n,), BIG),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,)),
-        jnp.zeros((n,)),
-    )
-    (t, i, u, v), _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    def body(carry, ci):
+        s = ci * chunk
+        if cull:
+            any_hit = jnp.any(
+                slab_test(orig, d, chunk_lo[ci][None], chunk_hi[ci][None])
+            )
+            carry = jax.lax.cond(
+                any_hit, lambda c: compute(c, s), lambda c: c, carry
+            )
+        else:
+            carry = compute(carry, s)
+        return carry, None
+
+    init = (jnp.full((n,), BIG), jnp.full((n,), -1, jnp.int32))
+    (t, i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    u, v = _mt_uv(orig, d, v0[jnp.maximum(i, 0)], v1[jnp.maximum(i, 0)],
+                  v2[jnp.maximum(i, 0)])
     return t, jnp.where(t < BIG, i, -1), u, v
 
 
@@ -218,10 +278,12 @@ def intersect_spheres(orig, d, centers, radii, valid, t_min: float = 0.0):
     Returns (t, idx) each (N,); t = BIG on miss. t_min=0 reproduces the
     reference's strict t0 > 0 acceptance.
     """
-    l = orig[:, None, :] - centers[None]              # (N,S,3)
+    lx = orig[:, 0:1] - centers[None, :, 0]           # (N,S) planes
+    ly = orig[:, 1:2] - centers[None, :, 1]
+    lz = orig[:, 2:3] - centers[None, :, 2]
     a = jnp.sum(d * d, axis=-1)[:, None]              # (N,1)
-    b = 2.0 * jnp.sum(d[:, None, :] * l, axis=-1)     # (N,S)
-    c = jnp.sum(l * l, axis=-1) - (radii * radii)[None]
+    b = 2.0 * (d[:, 0:1] * lx + d[:, 1:2] * ly + d[:, 2:3] * lz)
+    c = lx * lx + ly * ly + lz * lz - (radii * radii)[None]
     disc = b * b - 4.0 * a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     # copysign(sq, b): +sq when b >= 0 (copysign(x, +0) is +x)

@@ -51,15 +51,10 @@ def _emissive(emit):
     return jnp.linalg.norm(emit, axis=-1) > EPSILON
 
 
-def _direct_light(scene: RTScene, hit: Hit, key, chunk: int):
-    """pathTracingDirectLight (Scene.cpp:671-717) for a lane batch."""
-    n = optics.normalize(hit.normal)
+def _nee_eval(scene: RTScene, hit: Hit, n, l, pdf, shadow: Hit):
+    """pathTracingDirectLight evaluation (Scene.cpp:671-717) given the
+    sampled light direction `l`/`pdf` and the traced shadow hit."""
     coords = hit.coords
-
-    l, pdf = sampling.sample_light_dir(scene, key, coords)
-    shadow_orig = coords + 1e-6 * n
-    shadow = nearest_hit(scene, shadow_orig, l, chunk)
-
     lit = shadow.hit & _emissive(shadow.emit)
     dist2 = jnp.sum((coords - shadow.coords) ** 2, axis=-1)
     t2 = shadow.t * shadow.t
@@ -78,6 +73,19 @@ def _direct_light(scene: RTScene, hit: Hit, key, chunk: int):
     return jnp.where(_emissive(hit.emit)[:, None], hit.color, nee)
 
 
+def _direct_light(scene: RTScene, hit: Hit, key, chunk: int):
+    """pathTracingDirectLight (Scene.cpp:671-717) for a lane batch
+    (standalone form; the bounce loop uses the fused 2N-lane trace)."""
+    n = optics.normalize(hit.normal)
+    l, pdf = sampling.sample_light_dir(scene, key, hit.coords)
+    shadow = nearest_hit(scene, hit.coords + 1e-6 * n, l, chunk)
+    return _nee_eval(scene, hit, n, l, pdf, shadow)
+
+
+def _align_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def path_trace(
     scene: RTScene,
     orig,
@@ -86,26 +94,49 @@ def path_trace(
     p_rr: float = 0.8,
     max_bounces: int = 16,
     chunk: int = 512,
+    compact_schedule=(1.0, 0.5, 0.25, 0.125),
 ):
     """One path-tracing sample per lane. orig/d: (N,3). Returns (N,3)
-    radiance (the reference's Scene::pathTracing per camera ray)."""
+    radiance (the reference's Scene::pathTracing per camera ray).
+
+    Wavefront COMPACTION: `max_bounces` is split into
+    len(compact_schedule) groups; before each group the live lanes are
+    compacted to `schedule[g] * N` slots (stable partition by liveness).
+    Russian roulette kills ~(1-p_rr) of lanes per bounce, so the realized
+    live fraction (~0.8^b) stays below the capacity curve with ~4-sigma
+    binomial margin; the (astronomically rare) overflowing lanes would be
+    dropped, a bias far below the Monte-Carlo noise floor. Set
+    compact_schedule=(1.0,) to disable (every bounce at full width)."""
     n_lanes = orig.shape[0]
     hit = nearest_hit(scene, orig, d, chunk)
     radiance = jnp.where((~hit.hit)[:, None], scene.background, 0.0)
-    live = hit.hit
-    throughput = jnp.ones((n_lanes, 3))
+
+    state = {
+        "hit": hit,
+        "live": hit.hit,
+        "tp": jnp.ones((n_lanes, 3)),
+        "pixel": jnp.arange(n_lanes, dtype=jnp.int32),
+    }
+
+    n_groups = min(len(compact_schedule), max_bounces)
+    per_group = [max_bounces // n_groups] * n_groups
+    for i in range(max_bounces % n_groups):
+        per_group[i] += 1
 
     def bounce(carry, b):
-        hit, live, throughput, radiance = carry
+        state, radiance = carry
+        hit, live, tp, pixel = (
+            state["hit"], state["live"], state["tp"], state["pixel"]
+        )
+        cap = pixel.shape[0]
         kb = jax.random.fold_in(key, b)
         k_nee, k_rr, k_bsdf = jax.random.split(kb, 3)
 
         n = optics.normalize(hit.normal)
-        direct = _direct_light(scene, hit, k_nee, chunk)
-        radiance = radiance + jnp.where(live[:, None], throughput * direct, 0.0)
+        l, pdf_l = sampling.sample_light_dir(scene, k_nee, hit.coords)
 
         # Russian roulette (survive iff u <= p_rr, Scene.cpp:797-798)
-        survive = jax.random.uniform(k_rr, (n_lanes,)) <= p_rr
+        survive = jax.random.uniform(k_rr, (cap,)) <= p_rr
 
         wi = optics.normalize(sampling.sample_uniform_hemisphere(k_bsdf, n))
         pdf = sampling.hemisphere_pdf(wi, n)
@@ -113,7 +144,18 @@ def path_trace(
         cos_o = jnp.maximum(0.0, jnp.sum(wi * n, axis=-1))
         pdf_ok = jnp.isfinite(pdf) & (pdf >= EPSILON)
 
-        nxt = nearest_hit(scene, hit.coords + 1e-6 * n, wi, chunk)
+        # two trace pipelines per bounce (NEE shadow + next bounce) from
+        # the same offset origin. (A fused 2N-lane trace was measured
+        # SLOWER on v5e — the doubled (rays x tris) working set costs
+        # more than the halved dispatch count saves.)
+        o2 = hit.coords + 1e-6 * n
+        shadow = nearest_hit(scene, o2, l, chunk)
+        nxt = nearest_hit(scene, o2, wi, chunk)
+
+        direct = _nee_eval(scene, hit, n, l, pdf_l, shadow)
+        radiance = radiance.at[pixel].add(
+            jnp.where(live[:, None], tp * direct, 0.0)
+        )
         live = (
             live
             & survive
@@ -122,19 +164,27 @@ def path_trace(
             & ~_emissive(nxt.emit)  # indirect discards emitter hits (:813-815)
         )
         w = cos_o / jnp.maximum(pdf * p_rr, 1e-30)
-        throughput = throughput * fr * w[:, None]
-        return (nxt, live, throughput, radiance), None
+        state = {"hit": nxt, "live": live, "tp": tp * fr * w[:, None],
+                 "pixel": pixel}
+        return (state, radiance), None
 
-    (_, _, _, radiance), _ = jax.lax.scan(
-        bounce,
-        (hit, live, throughput, radiance),
-        jnp.arange(max_bounces, dtype=jnp.int32),
-    )
+    b0 = 0
+    for g in range(n_groups):
+        cap = min(_align_up(int(n_lanes * compact_schedule[g]), 256), n_lanes)
+        if cap < state["pixel"].shape[0]:
+            order = jnp.argsort(~state["live"], stable=True)[:cap]
+            state = jax.tree_util.tree_map(lambda a: a[order], state)
+        (state, radiance), _ = jax.lax.scan(
+            bounce,
+            (state, radiance),
+            jnp.arange(b0, b0 + per_group[g], dtype=jnp.int32),
+        )
+        b0 += per_group[g]
     return radiance
 
 
 def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
-                        block_offset=0):
+                        block_offset=0, compact_schedule=(1.0, 0.5, 0.25, 0.125)):
     """path_trace mapped over fixed-size lane blocks to bound the
     (lanes x primitives) working set (the wavefront analog of the
     reference's 16x16 TBB pixel tiles, PathTracing.cpp:44-46).
@@ -146,7 +196,7 @@ def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
     if n <= block:
         return path_trace(
             scene, orig, d, jax.random.fold_in(key, block_offset),
-            p_rr, max_bounces, chunk,
+            p_rr, max_bounces, chunk, compact_schedule,
         )
     pad = (-n) % block
     if pad:
@@ -160,7 +210,8 @@ def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
     def one(args):
         o, dd, bi = args
         return path_trace(
-            scene, o, dd, jax.random.fold_in(key, bi), p_rr, max_bounces, chunk
+            scene, o, dd, jax.random.fold_in(key, bi), p_rr, max_bounces,
+            chunk, compact_schedule,
         )
 
     out = jax.lax.map(one, (ob, db, bids))
@@ -170,7 +221,8 @@ def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "p_rr", "max_bounces", "block", "chunk"
+        "width", "height", "spp", "p_rr", "max_bounces", "block", "chunk",
+        "compact_schedule",
     ),
 )
 def path_render(
@@ -184,6 +236,7 @@ def path_render(
     max_bounces: int = 16,
     block: int = 1 << 16,
     chunk: int = 512,
+    compact_schedule=(1.0, 0.5, 0.25, 0.125),
 ):
     """Render one frame: mean over `spp` stochastic samples of the same
     deterministic primary rays (PathTracing.cpp:62-77). Returns (H,W,3)
@@ -192,13 +245,15 @@ def path_render(
     acc = path_render_accumulate(
         scene, orig, d, key, jnp.zeros((width * height, 3)), 0, spp,
         p_rr=p_rr, max_bounces=max_bounces, block=block, chunk=chunk,
+        compact_schedule=compact_schedule,
     )
     return (acc / float(spp)).reshape(height, width, 3)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_samples", "p_rr", "max_bounces", "block", "chunk"),
+    static_argnames=("n_samples", "p_rr", "max_bounces", "block", "chunk",
+                     "compact_schedule"),
 )
 def path_render_accumulate(
     scene: RTScene,
@@ -212,6 +267,7 @@ def path_render_accumulate(
     max_bounces: int = 16,
     block: int = 1 << 16,
     chunk: int = 512,
+    compact_schedule=(1.0, 0.5, 0.25, 0.125),
 ):
     """Add `n_samples` fresh per-lane samples into the running sum image
     `acc` (N,3). Sample indices [start_sample, start_sample+n_samples)
@@ -221,7 +277,9 @@ def path_render_accumulate(
 
     def body(acc, s):
         ks = jax.random.fold_in(key, start_sample + s)
-        rad = _blocked_path_trace(scene, orig, d, ks, p_rr, max_bounces, block, chunk)
+        rad = _blocked_path_trace(scene, orig, d, ks, p_rr, max_bounces,
+                                  block, chunk,
+                                  compact_schedule=compact_schedule)
         return acc + rad, None
 
     acc, _ = jax.lax.scan(body, acc, jnp.arange(n_samples, dtype=jnp.int32))

@@ -58,13 +58,11 @@ def sample_unit_sphere(key, shape):
 def pick_emissive_object(scene, key, n: int):
     """Uniformly pick one emissive object per lane (Scene.cpp:416-418).
     Returns (center (N,3), radius (N,), any_emitter scalar bool)."""
-    mask = scene.emitter_mask
-    n_emissive = jnp.sum(mask.astype(jnp.int32))
-    order = jnp.argsort(~mask, stable=True)
+    n_emissive = scene.n_emitters
     u = jax.random.uniform(key, (n,))
     k = jnp.floor(u * jnp.maximum(n_emissive, 1).astype(jnp.float32)).astype(jnp.int32)
     k = jnp.minimum(k, jnp.maximum(n_emissive - 1, 0))
-    oid = order[k]
+    oid = scene.emitter_order[k]
     return scene.emitter_center[oid], scene.emitter_radius[oid], n_emissive > 0
 
 

@@ -59,14 +59,11 @@ def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int =
 def _pick_emitter_center(scene: RTScene, key, n: int):
     """Random emissive object per ray; returns its bbox-sphere center
     (sampleLightOnCenter, Scene.cpp:398-427)."""
-    mask = scene.emitter_mask
-    n_emissive = jnp.sum(mask.astype(jnp.int32))
-    # object ids ordered with emissive first (stable)
-    order = jnp.argsort(~mask, stable=True)
+    n_emissive = scene.n_emitters
     u = jax.random.uniform(key, (n,))
     k = jnp.floor(u * jnp.maximum(n_emissive, 1).astype(jnp.float32)).astype(jnp.int32)
     k = jnp.minimum(k, jnp.maximum(n_emissive - 1, 0))
-    oid = order[k]
+    oid = scene.emitter_order[k]
     return scene.emitter_center[oid], n_emissive > 0
 
 

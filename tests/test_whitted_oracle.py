@@ -1,0 +1,61 @@
+"""Wavefront Whitted integrator vs the literal scalar recursion
+(tests/oracle_whitted.py). With one emitter the integrator is
+deterministic, so agreement is fp-tolerance, not statistical."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+import oracle_path as op  # np_scene helper
+import oracle_whitted as ow
+
+from software_rasterizer_tpu.ops.camera import camera_rays
+from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
+from software_rasterizer_tpu.ops.whitted import whitted_render
+from software_rasterizer_tpu.scenes import build_cornell_scene
+
+W = H = 24
+
+
+def _compare(scene, rt, pixels, tol=2e-2, allow_bad=0):
+    img = np.array(whitted_render(
+        rt, W, H, scene.fovy, jax.random.PRNGKey(0), spp=1, max_depth=5
+    ))
+    s = op.np_scene(rt)
+    orig, d = (np.asarray(a) for a in camera_rays(rt.eye, scene.fovy, W, H))
+    bad = []
+    for (py, px) in pixels:
+        lane = py * W + px
+        want = ow.whitted(s, orig[lane], d[lane])
+        got = img[py, px]
+        if not np.allclose(got, want, rtol=tol, atol=tol):
+            bad.append(((py, px), got, want))
+    assert len(bad) <= allow_bad, f"mismatches: {bad}"
+
+
+def test_cornell_whitted_matches_oracle():
+    scene = build_cornell_scene()
+    scene.set_ndc_matrix(W, H)
+    rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+    pixels = [(y, x) for y in range(2, H, 5) for x in range(2, W, 5)]
+    # the |t^2-d^2| > 1e-6 shadow knife-edge can flip between f32 and the
+    # f64 oracle on a few pixels (squared-distance magnitudes ~1 are at
+    # f32 resolution 1e-7)
+    _compare(scene, rt, pixels, allow_bad=2)
+
+
+def test_demo_whitted_matches_oracle(models_dir):
+    import sys
+
+    sys.path.insert(0, "examples")
+    from whitted_demo import build_scene, set_frame_matrices
+
+    scene = build_scene()
+    set_frame_matrices(scene, 0.0)
+    scene.set_ndc_matrix(W, H)
+    rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+    pixels = [(y, x) for y in range(1, H, 4) for x in range(1, W, 4)]
+    # grazing/silhouette pixels may flip branches between f32 and the f64
+    # oracle; allow a small population
+    _compare(scene, rt, pixels, tol=3e-2, allow_bad=3)
