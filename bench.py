@@ -16,7 +16,58 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_MPATHS = 2.65e6
+BASELINE_MPATHS = 2.65e6   # Cornell 1024^2@2048spp in ~13.5 min (README.md:613)
+BASELINE_RASTER_FPS = 58.6  # 17.06 ms median @ 1024^2, ~6K tris (README.md:612)
+
+
+def bench_raster(width, height, repeats):
+    """Raster mode: the reference's benchmark scene (spot + crate +
+    spheres, ~6K tris, texture shaders, rotating per frame like the
+    README methodology). Requires the reference assets; falls back to
+    the path benchmark when absent."""
+    import sys
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
+    from whitted_demo import build_scene, set_frame_matrices
+
+    from software_rasterizer_tpu.ops.raster import render_raster_frame
+
+    scene = build_scene()
+    scene.set_ndc_matrix(width, height)
+    geom = scene.raster_geometry()
+    geom = jax.tree_util.tree_map(jax.device_put, geom)
+
+    def frame(deg):
+        set_frame_matrices(scene, deg)
+        fr = scene.raster_frame()
+        img, z = render_raster_frame(geom, fr, height, width)
+        img.block_until_ready()
+        return img
+
+    t0 = _t.time()
+    frame(0.0)
+    compile_s = _t.time() - t0
+    times = []
+    for r in range(max(repeats * 5, 10)):  # rotate per frame (README.md:641)
+        t0 = _t.time()
+        frame(10.0 * (r + 1))
+        times.append(_t.time() - t0)
+    med = float(np.median(times))
+    fps = 1.0 / med
+    print(json.dumps({
+        "metric": "raster_frame_rate",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_RASTER_FPS, 3),
+        "config": f"{width}x{height} ~6K tris rotating",
+        "device": str(jax.devices()[0]),
+        "median_ms": round(med * 1e3, 3),
+        "first_call_s": round(compile_s, 3),
+    }))
 
 
 def main():
@@ -30,6 +81,13 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1024))
     spp = int(os.environ.get("BENCH_SPP", 16))
     repeats = int(os.environ.get("BENCH_REPEATS", 2))
+
+    if os.environ.get("BENCH_MODE", "path") == "raster":
+        try:
+            return bench_raster(width, height, repeats)
+        except Exception as e:  # assets missing etc. -> fall through
+            print(f"# raster bench unavailable ({e}); falling back to path",
+                  file=sys.stderr)
 
     scene = build_cornell_scene()
     scene.set_ndc_matrix(width, height)

@@ -44,7 +44,7 @@ class RenderConfig:
     # Use brute-force intersection below this triangle count, BVH above.
     bvh_threshold: int = 8192
     # Progressive checkpoint of the spp accumulator every K sample batches
-    # (0 disables). See parallel/checkpoint.py.
+    # (0 disables). See render/pathtracer.py save_checkpoint/load_checkpoint.
     checkpoint_every: int = 0
     checkpoint_dir: Optional[str] = None
 

@@ -7,8 +7,9 @@ integrators live in ops/ and consume those arrays.
 """
 
 from software_rasterizer_tpu.models.material import Material, MaterialType  # noqa: F401
-from software_rasterizer_tpu.models.lights import PointLight  # noqa: F401
+from software_rasterizer_tpu.models.lights import AreaLight, PointLight  # noqa: F401
 from software_rasterizer_tpu.models.objects import (  # noqa: F401
+    CubeObject,
     MeshObject,
     SphereLight,
     SphereObject,

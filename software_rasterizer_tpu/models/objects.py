@@ -100,6 +100,19 @@ class SphereObject(SceneObject):
         return float(4.0 * np.pi * radius * radius)
 
 
+class CubeObject(SceneObject):
+    """API-parity stub (reference Cube, src/Cube.cpp:7-45 — every method
+    returns empty/defaults; it exists only as a class-hierarchy slot).
+    Instantiable and transformable, contributes no geometry."""
+
+    def __init__(self, material: Optional[Material] = None):
+        super().__init__(material)
+
+    @property
+    def n_faces(self) -> int:
+        return 0
+
+
 class SphereLight(SphereObject):
     """Sphere + intensity; emissive spheres double as raster point lights
     (SphereLight.hpp, Scene.cpp:296-312)."""

@@ -20,6 +20,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from software_rasterizer_tpu.ops.raster import hom_transform
 from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
@@ -186,11 +187,26 @@ def _mt_chunk(orig, d, v0, v1, v2, valid):
         & (t >= 1e-6)
         & valid[None, :]
     )
-    return jnp.where(ok, t, BIG)
+    t = jnp.where(ok, t, BIG)
+
+    # Pack (t, lane) into ONE uint32 sort key: positive-f32 bit patterns
+    # are monotonic, so min over keys = min over t with the low `bits`
+    # mantissa bits repurposed as the lane index (ties -> lowest lane,
+    # same as argmin). A fused single-pass min costs ~1/30th of the
+    # variadic (min, argmin) reduce it replaces; the winner's exact t is
+    # recomputed in the `_mt_uv` epilogue.
+    c = t.shape[1]
+    bits = max((c - 1).bit_length(), 1)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, t.shape, 1)
+    key = (
+        jax.lax.bitcast_convert_type(t, jnp.uint32)
+        & jnp.uint32((0xFFFFFFFF << bits) & 0xFFFFFFFF)
+    ) | lane
+    return key, bits
 
 
 def _mt_uv(orig, d, v0, v1, v2):
-    """Barycentric (u, v) of rays (N,3) against their per-ray winning
+    """Exact (u, v, t) of rays (N,3) against their per-ray winning
     triangle (N,3) — the O(N) epilogue of `intersect_triangles`."""
     e1 = v1 - v0
     e2 = v2 - v0
@@ -201,7 +217,8 @@ def _mt_uv(orig, d, v0, v1, v2):
     u = jnp.sum(tvec * p, axis=-1) * inv
     q = jnp.cross(tvec, e1)
     v = jnp.sum(d * q, axis=-1) * inv
-    return u, v
+    t = jnp.sum(e2 * q, axis=-1) * inv
+    return u, v, t
 
 
 def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512,
@@ -238,19 +255,27 @@ def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512,
         chunk_lo = lo3.reshape(n_chunks, chunk, 3).min(1)   # (nc,3)
         chunk_hi = hi3.reshape(n_chunks, chunk, 3).max(1)
 
+    bits = max((chunk - 1).bit_length(), 1)
+    lane_mask = jnp.uint32((1 << bits) - 1)
+    # key of a masked (t = BIG) slot at lane 0 — also the scan init, so a
+    # fully-missed chunk can never fire `better` (strict <)
+    miss_base = jnp.uint32(
+        int(np.float32(1e30).view(np.uint32)) & ((0xFFFFFFFF << bits) & 0xFFFFFFFF)
+    )
+
     def compute(carry, s):
-        bt, bi = carry
-        t = _mt_chunk(
+        bk, bi = carry
+        key, _ = _mt_chunk(
             orig, d,
             jax.lax.dynamic_slice(v0, (s, 0), (chunk, 3)),
             jax.lax.dynamic_slice(v1, (s, 0), (chunk, 3)),
             jax.lax.dynamic_slice(v2, (s, 0), (chunk, 3)),
             jax.lax.dynamic_slice(valid, (s,), (chunk,)),
         )
-        ct = jnp.min(t, axis=1)
-        ca = jnp.argmin(t, axis=1).astype(jnp.int32) + s
-        better = ct < bt
-        return (jnp.where(better, ct, bt), jnp.where(better, ca, bi))
+        ck = jnp.min(key, axis=1)                 # single fused reduce
+        better = ck < bk
+        lane = (ck & lane_mask).astype(jnp.int32)
+        return (jnp.where(better, ck, bk), jnp.where(better, lane + s, bi))
 
     def body(carry, ci):
         s = ci * chunk
@@ -265,11 +290,12 @@ def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512,
             carry = compute(carry, s)
         return carry, None
 
-    init = (jnp.full((n,), BIG), jnp.full((n,), -1, jnp.int32))
-    (t, i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
-    u, v = _mt_uv(orig, d, v0[jnp.maximum(i, 0)], v1[jnp.maximum(i, 0)],
-                  v2[jnp.maximum(i, 0)])
-    return t, jnp.where(t < BIG, i, -1), u, v
+    init = (jnp.full((n,), miss_base, jnp.uint32), jnp.full((n,), -1, jnp.int32))
+    (bk, i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    hit = bk < miss_base
+    u, v, t = _mt_uv(orig, d, v0[jnp.maximum(i, 0)], v1[jnp.maximum(i, 0)],
+                     v2[jnp.maximum(i, 0)])
+    return jnp.where(hit, t, BIG), jnp.where(hit, i, -1), u, v
 
 
 def intersect_spheres(orig, d, centers, radii, valid, t_min: float = 0.0):
@@ -300,10 +326,15 @@ def intersect_spheres(orig, d, centers, radii, valid, t_min: float = 0.0):
     return bt, jnp.where(bt < BIG, bi, -1)
 
 
-def nearest_hit(scene: RTScene, orig, d, chunk: int = 512, sphere_t_min: float = 0.0) -> Hit:
+def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
+                sphere_t_min: float = 0.0, lite: bool = False) -> Hit:
     """Scene::traceScene (Scene.cpp:349-396): nearest over all primitives,
     then surface properties of the winner (barycentric normal/uv + diffuse
-    color for triangles, analytic normal + zero color for spheres)."""
+    color for triangles, analytic normal + zero color for spheres).
+
+    `lite=True` skips the uv-interpolation + texture/Kd color gathers
+    (fields `color`/`bary_*`/`uv` consumers) — shadow/visibility rays
+    only need (hit, t, coords, normal, emit, mat)."""
     tt, ti, tu, tv = intersect_triangles(
         orig, d, scene.v0, scene.v1, scene.v2, scene.tri_valid, chunk
     )
@@ -327,17 +358,20 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512, sphere_t_min: float =
         + tv[:, None] * scene.n2[tidx]
     )
     tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-20)
-    tuv_i = (
-        w[:, None] * scene.uv0[tidx]
-        + tu[:, None] * scene.uv1[tidx]
-        + tv[:, None] * scene.uv2[tidx]
-    )
-    tex = scene.tri_tex[tidx]
-    tcol = jnp.where(
-        (tex >= 0)[:, None],
-        fetch_nearest(scene.textures, scene.tex_wh, tex, tuv_i),
-        scene.mat_kd[scene.tri_mat[tidx]],
-    )
+    if lite:
+        tcol = jnp.zeros_like(coords)
+    else:
+        tuv_i = (
+            w[:, None] * scene.uv0[tidx]
+            + tu[:, None] * scene.uv1[tidx]
+            + tv[:, None] * scene.uv2[tidx]
+        )
+        tex = scene.tri_tex[tidx]
+        tcol = jnp.where(
+            (tex >= 0)[:, None],
+            fetch_nearest(scene.textures, scene.tex_wh, tex, tuv_i),
+            scene.mat_kd[scene.tri_mat[tidx]],
+        )
 
     # sphere surface properties (Sphere.cpp:148-154): normal only,
     # Properties.color stays (0,0,0) — faithful quirk (Object.hpp:36-40)

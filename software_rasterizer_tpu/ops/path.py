@@ -78,7 +78,7 @@ def _direct_light(scene: RTScene, hit: Hit, key, chunk: int):
     (standalone form; the bounce loop uses the fused 2N-lane trace)."""
     n = optics.normalize(hit.normal)
     l, pdf = sampling.sample_light_dir(scene, key, hit.coords)
-    shadow = nearest_hit(scene, hit.coords + 1e-6 * n, l, chunk)
+    shadow = nearest_hit(scene, hit.coords + 1e-6 * n, l, chunk, lite=True)
     return _nee_eval(scene, hit, n, l, pdf, shadow)
 
 
@@ -149,7 +149,7 @@ def path_trace(
         # SLOWER on v5e — the doubled (rays x tris) working set costs
         # more than the halved dispatch count saves.)
         o2 = hit.coords + 1e-6 * n
-        shadow = nearest_hit(scene, o2, l, chunk)
+        shadow = nearest_hit(scene, o2, l, chunk, lite=True)
         nxt = nearest_hit(scene, o2, wi, chunk)
 
         direct = _nee_eval(scene, hit, n, l, pdf_l, shadow)

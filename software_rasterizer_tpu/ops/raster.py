@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from software_rasterizer_tpu.ops import shading as sh
 
@@ -94,6 +95,16 @@ def _tile_pixels(ty, tx, tile_h, tile_w, dtype=jnp.float32):
     return px.reshape(-1, 3)
 
 
+def _order_key(z):
+    """f32 -> uint32 with the same total order (IEEE sign-magnitude to
+    biased-ordinal map), so a min over keys is a min over z."""
+    u = jax.lax.bitcast_convert_type(z, jnp.uint32)
+    mask = jnp.where(
+        (u >> 31) > 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000)
+    )
+    return u ^ mask
+
+
 def rasterize_tiles(
     coef: jnp.ndarray,
     zrow: jnp.ndarray,
@@ -108,6 +119,11 @@ def rasterize_tiles(
     coef: (F,2,3), zrow: (F,3), keep: (F,) bool (valid & front-facing).
     Returns best_idx (H,W) i32 (-1 where uncovered), best_z (H,W) f32.
     F must be a multiple of `chunk` (pad with keep=False).
+
+    Depth resolve packs (z, lane) into one uint32 sort key (monotonic
+    order map + lane index in the low mantissa bits) so each chunk needs
+    a single fused min-reduce instead of the far costlier variadic
+    (min, argmin) pair; exact per-pixel z is recomputed for the winner.
     """
     f = coef.shape[0]
     chunk = min(chunk, f)
@@ -123,6 +139,14 @@ def rasterize_tiles(
     gw = -(-width // tile_w)
     p = tile_h * tile_w
 
+    bits = max((chunk - 1).bit_length(), 1)
+    high_mask = jnp.uint32((0xFFFFFFFF << bits) & 0xFFFFFFFF)
+    lane_mask = jnp.uint32((1 << bits) - 1)
+    miss_base = (
+        jnp.uint32(int(np.float32(np.inf).view(np.uint32)) ^ 0x80000000)
+        & high_mask
+    )
+
     # (3,F,2) matmul operand: column pairs are [alpha_t, beta_t]
     ab_mat = coef.transpose(2, 0, 1)                      # (3,F,2)
     z_mat = zrow.T                                        # (3,F)
@@ -133,7 +157,7 @@ def rasterize_tiles(
         px = _tile_pixels(ty, tx, tile_h, tile_w)         # (P,3)
 
         def chunk_body(carry, ci):
-            best_z, best_i = carry
+            best_k, best_i = carry
             sl = ci * chunk
             ab = jax.lax.dynamic_slice(ab_mat, (0, sl, 0), (3, chunk, 2))
             zc = jax.lax.dynamic_slice(z_mat, (0, sl), (3, chunk))
@@ -149,17 +173,25 @@ def rasterize_tiles(
             )
             z = px @ zc + kz[None, :]                     # (P,C) MXU
             score = jnp.where(inside, z, INF)
-            c_best = jnp.min(score, axis=1)
-            c_arg = jnp.argmin(score, axis=1).astype(jnp.int32) + sl
-            better = c_best < best_z                      # strict `<` z test
-            best_z = jnp.where(better, c_best, best_z)
+            lane = jax.lax.broadcasted_iota(jnp.uint32, score.shape, 1)
+            key = (_order_key(score) & high_mask) | lane
+            c_best = jnp.min(key, axis=1)                 # single reduce
+            better = c_best < best_k                      # strict `<` z test
+            c_arg = (c_best & lane_mask).astype(jnp.int32) + sl
+            best_k = jnp.where(better, c_best, best_k)
             best_i = jnp.where(better, c_arg, best_i)
-            return (best_z, best_i), None
+            return (best_k, best_i), None
 
-        init = (jnp.full((p,), INF), jnp.full((p,), -1, jnp.int32))
-        (best_z, best_i), _ = jax.lax.scan(
+        init = (jnp.full((p,), miss_base, jnp.uint32), jnp.full((p,), -1, jnp.int32))
+        (best_k, best_i), _ = jax.lax.scan(
             chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
         )
+        # exact z of the winner (affine eval of its depth row)
+        zc_win = z_mat.T[jnp.maximum(best_i, 0)]          # (P,3)
+        best_z = jnp.where(
+            best_k < miss_base, jnp.sum(px * zc_win, axis=1), INF
+        )
+        best_i = jnp.where(best_k < miss_base, best_i, -1)
         return best_z.reshape(tile_h, tile_w), best_i.reshape(tile_h, tile_w)
 
     bz, bi = jax.lax.map(tile_fn, jnp.arange(gh * gw, dtype=jnp.int32))

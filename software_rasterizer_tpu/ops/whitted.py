@@ -35,12 +35,13 @@ from software_rasterizer_tpu.ops.intersect import BIG, Hit, RTScene, nearest_hit
 EPSILON = 1e-5  # Scene.hpp:160
 
 
-def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int = 512) -> Hit:
+def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int = 512,
+                        lite: bool = False) -> Hit:
     """nearest_hit over large ray sets, mapped over fixed-size blocks to
     bound the (rays x primitives) working set."""
     n = orig.shape[0]
     if n <= block:
-        return nearest_hit(scene, orig, d, chunk)
+        return nearest_hit(scene, orig, d, chunk, lite=lite)
     pad = (-n) % block
     if pad:
         orig = jnp.pad(orig, ((0, pad), (0, 0)))
@@ -50,7 +51,9 @@ def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int =
     nb = (n + pad) // block
     ob = orig.reshape(nb, block, 3)
     db = d.reshape(nb, block, 3)
-    hits = jax.lax.map(lambda od: nearest_hit(scene, od[0], od[1], chunk), (ob, db))
+    hits = jax.lax.map(
+        lambda od: nearest_hit(scene, od[0], od[1], chunk, lite=lite), (ob, db)
+    )
     return jax.tree_util.tree_map(
         lambda a: a.reshape((nb * block,) + a.shape[2:])[:n], hits
     )
@@ -78,7 +81,7 @@ def whitted_phong_direct(scene: RTScene, hit: Hit, ray_dir, spp: int, key,
     for s in range(spp):
         center, any_emitter = _pick_emitter_center(scene, jax.random.fold_in(key, s), n)
         l = optics.normalize(center - hit.coords)
-        shadow = blocked_nearest_hit(scene, hit.coords, l, block, chunk)
+        shadow = blocked_nearest_hit(scene, hit.coords, l, block, chunk, lite=True)
         lit = shadow.hit & (jnp.linalg.norm(shadow.emit, axis=-1) >= EPSILON) & any_emitter
         emit = shadow.emit
         diff = jnp.maximum(0.0, jnp.sum(nrm * l, axis=-1))
