@@ -94,9 +94,11 @@ def main():
     rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
     rt = jax.tree_util.tree_map(jax.device_put, rt)
 
+    from software_rasterizer_tpu.utils.rng import make_key
+
     def render(seed):
         img = path_render(
-            rt, width, height, scene.fovy, jax.random.PRNGKey(seed), spp=spp
+            rt, width, height, scene.fovy, make_key(seed), spp=spp
         )
         img.block_until_ready()
         return img

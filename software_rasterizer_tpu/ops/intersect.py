@@ -62,6 +62,11 @@ class RTScene(NamedTuple):
     emitter_mask: jnp.ndarray    # (O,) bool emissive object
     emitter_order: jnp.ndarray   # (O,) i32 object ids, emissive first
     n_emitters: jnp.ndarray      # () i32
+    emitter_cr: jnp.ndarray      # (O,4) [center, radius] rows in emitter
+                                 # order — one-hot matmul operand for the
+                                 # per-lane emitter pick
+    prim_attr: jnp.ndarray       # (P_pad, 40) per-primitive attribute rows
+                                 # (tris then spheres; see _pack_prim_attr)
     textures: jnp.ndarray
     tex_wh: jnp.ndarray
     background: jnp.ndarray      # (3,)
@@ -107,6 +112,50 @@ def prepare_rt_scene(geom, frame) -> RTScene:
     centers, radii = jax.vmap(obj_bounds)(obj_ids)
 
     mt = geom.materials
+    emitter_order = jnp.argsort(
+        ~jnp.asarray(geom.obj_emissive), stable=True
+    ).astype(jnp.int32)
+    emitter_cr = jnp.concatenate(
+        [centers[emitter_order], radii[emitter_order][:, None]], axis=1
+    )
+
+    # packed per-primitive attribute table (tris then spheres) — one
+    # one-hot matmul on the MXU replaces ~12 per-winner gathers, which
+    # profiling showed dominating every bounce at small scene sizes
+    f = tv.shape[0]
+    tri_kd = mt.kd[geom.tri_mat]
+    tri_emit = mt.emission[geom.tri_mat]
+    zeros_f = jnp.zeros((f, 1))
+    tri_rows = jnp.concatenate([
+        tv[:, 0], tv[:, 1], tv[:, 2],                      # 0:9   v0 v1 v2
+        tn[:, 0], tn[:, 1], tn[:, 2],                      # 9:18  n0 n1 n2
+        tuv[:, 0], tuv[:, 1], tuv[:, 2],                   # 18:24 uv0..2
+        tri_kd, tri_emit,                                  # 24:30 kd, emit
+        mt.type[geom.tri_mat][:, None].astype(jnp.float32),  # 30 mat type
+        mt.ior[geom.tri_mat][:, None],                     # 31 ior
+        geom.tri_mat[:, None].astype(jnp.float32),         # 32 mat id
+        geom.tri_tex[:, None].astype(jnp.float32),         # 33 tex id
+        geom.tri_obj[:, None].astype(jnp.float32),         # 34 obj id
+        zeros_f,                                           # 35 is_sphere
+        zeros_f, zeros_f, zeros_f, zeros_f,                # 36:40 pad
+    ], axis=1)
+    ns = sc.shape[0]
+    zeros_s = jnp.zeros((ns, 1))
+    sph_rows = jnp.concatenate([
+        sc, jnp.zeros((ns, 6)),                            # 0:3 center
+        jnp.zeros((ns, 15)),
+        mt.kd[geom.sph_mat], mt.emission[geom.sph_mat],    # 24:30
+        mt.type[geom.sph_mat][:, None].astype(jnp.float32),
+        mt.ior[geom.sph_mat][:, None],
+        geom.sph_mat[:, None].astype(jnp.float32),
+        jnp.full((ns, 1), -1.0),                           # 33 tex id
+        geom.sph_obj[:, None].astype(jnp.float32),
+        jnp.ones((ns, 1)),                                 # 35 is_sphere
+        sr[:, None],                                       # 36 radius
+        zeros_s, zeros_s, zeros_s,
+    ], axis=1)
+    prim_attr = jnp.concatenate([tri_rows, sph_rows], axis=0)
+
     return RTScene(
         v0=tv[:, 0], v1=tv[:, 1], v2=tv[:, 2],
         n0=tn[:, 0], n1=tn[:, 1], n2=tn[:, 2],
@@ -119,15 +168,19 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         mat_spec=mt.spec_exp, mat_ior=mt.ior, mat_emit=mt.emission,
         emitter_center=centers, emitter_radius=radii,
         emitter_mask=jnp.asarray(geom.obj_emissive),
-        emitter_order=jnp.argsort(~jnp.asarray(geom.obj_emissive), stable=True).astype(jnp.int32),
+        emitter_order=emitter_order,
         n_emitters=jnp.sum(jnp.asarray(geom.obj_emissive).astype(jnp.int32)),
+        emitter_cr=emitter_cr,
+        prim_attr=prim_attr,
         textures=geom.textures, tex_wh=geom.tex_wh,
         background=frame.background, eye=frame.eye,
     )
 
 
 class Hit(NamedTuple):
-    """Intersection record SoA (reference: Intersection.hpp:12-29)."""
+    """Intersection record SoA (reference: Intersection.hpp:12-29, with
+    the winner's material constants pre-joined so integrators need no
+    further table lookups)."""
 
     hit: jnp.ndarray        # (N,) bool
     t: jnp.ndarray          # (N,) f32 (BIG when miss)
@@ -141,6 +194,9 @@ class Hit(NamedTuple):
     emit: jnp.ndarray       # (N,3)
     mat: jnp.ndarray        # (N,) i32
     obj: jnp.ndarray        # (N,) i32
+    kd: jnp.ndarray         # (N,3) material Kd of the winner
+    mat_type: jnp.ndarray   # (N,) i32 MaterialType of the winner
+    ior: jnp.ndarray        # (N,) f32
 
 
 def _mt_chunk(orig, d, v0, v1, v2, valid):
@@ -221,11 +277,11 @@ def _mt_uv(orig, d, v0, v1, v2):
     return u, v, t
 
 
-def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512,
-                        cull_chunks: bool = True):
-    """Nearest triangle per ray via chunked masked min.
-
-    Returns (t, idx, u, v) each (N,); idx = -1 / t = BIG on miss.
+def _intersect_tri_raw(orig, d, v0, v1, v2, valid, chunk: int = 512,
+                       cull_chunks: bool = True):
+    """Winner search only: returns (hit (N,) bool, idx (N,) i32, -1 miss).
+    The (u, v, t) epilogue is the caller's (so `nearest_hit` can batch it
+    into the one-hot attribute matmul instead of per-array gathers).
 
     `cull_chunks`: two-level vectorized BVH (ops/bvh.py) — when no ray of
     this block enters a chunk's AABB, the whole (rays x chunk) tile is
@@ -293,9 +349,18 @@ def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512,
     init = (jnp.full((n,), miss_base, jnp.uint32), jnp.full((n,), -1, jnp.int32))
     (bk, i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
     hit = bk < miss_base
-    u, v, t = _mt_uv(orig, d, v0[jnp.maximum(i, 0)], v1[jnp.maximum(i, 0)],
-                     v2[jnp.maximum(i, 0)])
-    return jnp.where(hit, t, BIG), jnp.where(hit, i, -1), u, v
+    return hit, jnp.where(hit, i, -1)
+
+
+def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512,
+                        cull_chunks: bool = True):
+    """Nearest triangle per ray via chunked masked min.
+
+    Returns (t, idx, u, v) each (N,); idx = -1 / t = BIG on miss."""
+    hit, i = _intersect_tri_raw(orig, d, v0, v1, v2, valid, chunk, cull_chunks)
+    c = jnp.maximum(i, 0)
+    u, v, t = _mt_uv(orig, d, v0[c], v1[c], v2[c])
+    return jnp.where(hit, t, BIG), i, u, v
 
 
 def intersect_spheres(orig, d, centers, radii, valid, t_min: float = 0.0):
@@ -326,60 +391,103 @@ def intersect_spheres(orig, d, centers, radii, valid, t_min: float = 0.0):
     return bt, jnp.where(bt < BIG, bi, -1)
 
 
+def _onehot_rows(idx, table, precision=jax.lax.Precision.HIGHEST):
+    """table[idx] as a one-hot MXU matmul: idx (N,) i32, table (P,K) f32.
+
+    Profiling showed each per-winner TPU gather of 65K indices costing
+    ~0.6 ms; ~12 of them dominated every bounce. One (N,P)@(P,K) matmul
+    with an exact one-hot operand replaces them all (HIGHEST precision
+    keeps f32 table values, including integer ids, exact)."""
+    p = table.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], p), 1)
+    oh = (idx[:, None] == iota).astype(jnp.float32)
+    return jnp.dot(oh, table, precision=precision,
+                   preferred_element_type=jnp.float32)
+
+
 def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
                 sphere_t_min: float = 0.0, lite: bool = False) -> Hit:
     """Scene::traceScene (Scene.cpp:349-396): nearest over all primitives,
     then surface properties of the winner (barycentric normal/uv + diffuse
     color for triangles, analytic normal + zero color for spheres).
 
-    `lite=True` skips the uv-interpolation + texture/Kd color gathers
-    (fields `color`/`bary_*`/`uv` consumers) — shadow/visibility rays
-    only need (hit, t, coords, normal, emit, mat)."""
-    tt, ti, tu, tv = intersect_triangles(
+    `lite=True` skips the texture-fetch color path — shadow/visibility
+    rays only need (hit, t, coords, normal, emit).
+
+    Winner attributes are assembled with ONE one-hot matmul over the
+    packed `prim_attr` table when the primitive count is small enough
+    (the one-hot plane stays cheap); large scenes fall back to gathers.
+    """
+    f_pad = scene.v0.shape[0]
+    tri_hit, ti = _intersect_tri_raw(
         orig, d, scene.v0, scene.v1, scene.v2, scene.tri_valid, chunk
     )
+    tidx = jnp.maximum(ti, 0)
+    use_onehot = f_pad + scene.sph_c.shape[0] <= 1024
+
+    if use_onehot:
+        v012 = _onehot_rows(tidx, scene.prim_attr[:f_pad, 0:9])
+        v0w, v1w, v2w = v012[:, 0:3], v012[:, 3:6], v012[:, 6:9]
+    else:
+        v0w, v1w, v2w = scene.v0[tidx], scene.v1[tidx], scene.v2[tidx]
+    tu, tv, t_tri = _mt_uv(orig, d, v0w, v1w, v2w)
+    tt = jnp.where(tri_hit, t_tri, BIG)
+
     st, si = intersect_spheres(
         orig, d, scene.sph_c, scene.sph_r, scene.sph_valid, sphere_t_min
     )
     use_s = st < tt
     t = jnp.where(use_s, st, tt)
     hit = t < BIG
-
-    tidx = jnp.maximum(ti, 0)
     sidx = jnp.maximum(si, 0)
-
     coords = orig + d * t[:, None]
+
+    if use_onehot:
+        prim = jnp.where(use_s, f_pad + sidx, tidx)
+        a = _onehot_rows(prim, scene.prim_attr)
+        n0, n1, n2 = a[:, 9:12], a[:, 12:15], a[:, 15:18]
+        uv0, uv1, uv2 = a[:, 18:20], a[:, 20:22], a[:, 22:24]
+        kd = a[:, 24:27]
+        emit = a[:, 27:30]
+        mat_type = jnp.round(a[:, 30]).astype(jnp.int32)
+        ior = a[:, 31]
+        mat = jnp.round(a[:, 32]).astype(jnp.int32)
+        tex = jnp.round(a[:, 33]).astype(jnp.int32)
+        obj = jnp.round(a[:, 34]).astype(jnp.int32)
+        sph_center = a[:, 0:3]     # sphere rows carry the center in 0:3
+    else:
+        n0, n1, n2 = scene.n0[tidx], scene.n1[tidx], scene.n2[tidx]
+        uv0, uv1, uv2 = scene.uv0[tidx], scene.uv1[tidx], scene.uv2[tidx]
+        tmat = scene.tri_mat[tidx]
+        smat = scene.sph_mat[sidx]
+        mat = jnp.where(use_s, smat, tmat)
+        kd = scene.mat_kd[mat]
+        emit = scene.mat_emit[mat]
+        mat_type = scene.mat_type[mat]
+        ior = scene.mat_ior[mat]
+        tex = jnp.where(use_s, -1, scene.tri_tex[tidx])
+        obj = jnp.where(use_s, scene.sph_obj[sidx], scene.tri_obj[tidx])
+        sph_center = scene.sph_c[sidx]
 
     # triangle surface properties (Triangle.cpp:160-177)
     w = 1.0 - tu - tv
-    tn = (
-        w[:, None] * scene.n0[tidx]
-        + tu[:, None] * scene.n1[tidx]
-        + tv[:, None] * scene.n2[tidx]
-    )
+    tn = w[:, None] * n0 + tu[:, None] * n1 + tv[:, None] * n2
     tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-20)
     if lite:
         tcol = jnp.zeros_like(coords)
     else:
-        tuv_i = (
-            w[:, None] * scene.uv0[tidx]
-            + tu[:, None] * scene.uv1[tidx]
-            + tv[:, None] * scene.uv2[tidx]
-        )
-        tex = scene.tri_tex[tidx]
+        tuv_i = w[:, None] * uv0 + tu[:, None] * uv1 + tv[:, None] * uv2
         tcol = jnp.where(
             (tex >= 0)[:, None],
             fetch_nearest(scene.textures, scene.tex_wh, tex, tuv_i),
-            scene.mat_kd[scene.tri_mat[tidx]],
+            kd,
         )
 
     # sphere surface properties (Sphere.cpp:148-154): normal only,
     # Properties.color stays (0,0,0) — faithful quirk (Object.hpp:36-40)
-    sn = coords - scene.sph_c[sidx]
+    sn = coords - sph_center
     sn = sn / jnp.maximum(jnp.linalg.norm(sn, axis=-1, keepdims=True), 1e-20)
 
-    mat = jnp.where(use_s, scene.sph_mat[sidx], scene.tri_mat[tidx])
-    obj = jnp.where(use_s, scene.sph_obj[sidx], scene.tri_obj[tidx])
     return Hit(
         hit=hit,
         t=t,
@@ -390,7 +498,10 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
         coords=coords,
         normal=jnp.where(use_s[:, None], sn, tn),
         color=jnp.where(use_s[:, None], 0.0, tcol),
-        emit=scene.mat_emit[mat],
+        emit=emit,
         mat=mat,
         obj=obj,
+        kd=kd,
+        mat_type=mat_type,
+        ior=ior,
     )

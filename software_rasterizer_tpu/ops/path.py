@@ -62,7 +62,7 @@ def _nee_eval(scene: RTScene, hit: Hit, n, l, pdf, shadow: Hit):
 
     cos_o = jnp.maximum(0.0, jnp.sum(n * l, axis=-1))
     cos_l = jnp.maximum(0.0, jnp.sum(shadow.normal * (-l), axis=-1))
-    fr = sampling.fr_diffuse(scene.mat_kd[hit.mat], l, n)
+    fr = sampling.fr_diffuse(hit.kd, l, n)
 
     pdf_ok = jnp.isfinite(pdf) & (pdf >= EPSILON)
     denom = jnp.where(pdf_ok, pdf, 1.0) * jnp.maximum(dist2, 1e-30)
@@ -140,7 +140,7 @@ def path_trace(
 
         wi = optics.normalize(sampling.sample_uniform_hemisphere(k_bsdf, n))
         pdf = sampling.hemisphere_pdf(wi, n)
-        fr = sampling.fr_diffuse(scene.mat_kd[hit.mat], wi, n)
+        fr = sampling.fr_diffuse(hit.kd, wi, n)
         cos_o = jnp.maximum(0.0, jnp.sum(wi * n, axis=-1))
         pdf_ok = jnp.isfinite(pdf) & (pdf >= EPSILON)
 

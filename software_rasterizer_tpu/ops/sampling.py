@@ -58,12 +58,14 @@ def sample_unit_sphere(key, shape):
 def pick_emissive_object(scene, key, n: int):
     """Uniformly pick one emissive object per lane (Scene.cpp:416-418).
     Returns (center (N,3), radius (N,), any_emitter scalar bool)."""
+    from software_rasterizer_tpu.ops.intersect import _onehot_rows
+
     n_emissive = scene.n_emitters
     u = jax.random.uniform(key, (n,))
     k = jnp.floor(u * jnp.maximum(n_emissive, 1).astype(jnp.float32)).astype(jnp.int32)
     k = jnp.minimum(k, jnp.maximum(n_emissive - 1, 0))
-    oid = scene.emitter_order[k]
-    return scene.emitter_center[oid], scene.emitter_radius[oid], n_emissive > 0
+    cr = _onehot_rows(k, scene.emitter_cr)   # gather-free emitter pick
+    return cr[:, 0:3], cr[:, 3], n_emissive > 0
 
 
 def sample_light_dir(scene, key, p):

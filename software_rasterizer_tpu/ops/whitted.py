@@ -62,12 +62,14 @@ def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int =
 def _pick_emitter_center(scene: RTScene, key, n: int):
     """Random emissive object per ray; returns its bbox-sphere center
     (sampleLightOnCenter, Scene.cpp:398-427)."""
+    from software_rasterizer_tpu.ops.intersect import _onehot_rows
+
     n_emissive = scene.n_emitters
     u = jax.random.uniform(key, (n,))
     k = jnp.floor(u * jnp.maximum(n_emissive, 1).astype(jnp.float32)).astype(jnp.int32)
     k = jnp.minimum(k, jnp.maximum(n_emissive - 1, 0))
-    oid = scene.emitter_order[k]
-    return scene.emitter_center[oid], n_emissive > 0
+    cr = _onehot_rows(k, scene.emitter_cr)
+    return cr[:, 0:3], n_emissive > 0
 
 
 def whitted_phong_direct(scene: RTScene, hit: Hit, ray_dir, spp: int, key,
@@ -146,7 +148,7 @@ def whitted_trace(
             jnp.where(miss[:, None], weight * scene.background, 0.0)
         )
 
-        mat_type = scene.mat_type[hit.mat]
+        mat_type = hit.mat_type
         i_dir = rays["dir"]  # camera/child dirs are normalized on creation
         nrm = hit.normal
 
@@ -163,7 +165,7 @@ def whitted_trace(
         # specular branches
         is_glass = live & hit.hit & (mat_type == 1)
         is_mirror = live & hit.hit & (mat_type == 2)
-        ior = scene.mat_ior[hit.mat]
+        ior = hit.ior
         kr = jnp.clip(optics.fresnel(i_dir, nrm, ior), 0.0, 1.0)
         refl_dir = optics.normalize(optics.reflect(i_dir, nrm))
         refr_raw = optics.refract(i_dir, nrm, ior)

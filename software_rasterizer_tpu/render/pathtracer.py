@@ -25,6 +25,7 @@ from software_rasterizer_tpu.ops.camera import camera_rays
 from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
 from software_rasterizer_tpu.ops.path import path_render, path_render_accumulate
 from software_rasterizer_tpu.render.pipeline import Primitive, RenderingPipeline
+from software_rasterizer_tpu.utils.rng import make_key
 
 
 class PathTracing(RenderingPipeline):
@@ -71,7 +72,7 @@ class PathTracing(RenderingPipeline):
             rt = self._rt_scene(scene)
             img = path_render(
                 rt, self.width, self.height, scene.fovy,
-                jax.random.PRNGKey(self.seed),
+                make_key(self.seed),
                 spp=self.spp, p_rr=scene.rr, max_bounces=self.max_bounces,
                 block=self.block, chunk=self.chunk,
             )
@@ -89,7 +90,7 @@ class PathTracing(RenderingPipeline):
         )
         orig, d = camera_rays(rt.eye, scene.fovy, self.width, self.height)
         acc = path_render_accumulate(
-            rt, orig, d, jax.random.PRNGKey(self.seed), acc, done, n_samples,
+            rt, orig, d, make_key(self.seed), acc, done, n_samples,
             p_rr=scene.rr, max_bounces=self.max_bounces,
             block=self.block, chunk=self.chunk,
         )

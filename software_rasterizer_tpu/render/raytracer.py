@@ -15,6 +15,7 @@ from software_rasterizer_tpu.models.scene import Scene
 from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
 from software_rasterizer_tpu.ops.whitted import whitted_render
 from software_rasterizer_tpu.render.pipeline import Primitive, RenderingPipeline
+from software_rasterizer_tpu.utils.rng import make_key
 
 
 class RayTracing(RenderingPipeline):
@@ -25,7 +26,7 @@ class RayTracing(RenderingPipeline):
         self.max_depth = max_depth
         self.block = block
         self.chunk = chunk
-        self.key = jax.random.PRNGKey(seed)
+        self.key = make_key(seed)
         self._geom_cache: Dict[str, object] = {}
 
     def set_spp(self, spp: int):
