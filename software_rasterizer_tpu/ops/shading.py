@@ -24,7 +24,7 @@ import enum
 
 import jax.numpy as jnp
 
-from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
+from software_rasterizer_tpu.ops.texture_ops import _small_table_rows, fetch_nearest
 
 # Static shader globals (Shader.cpp:7-12)
 KA = 0.005
@@ -104,9 +104,9 @@ def _tbn_perturbed_normal(normal, uv, tex_id, atlas, tex_wh):
     # glm::mat3 TBN(t.x,b.x,n.x, t.y,b.y,n.y, t.z,b.z,n.z) fills COLUMNS,
     # so TBN*ln = (t.ln, b.ln, n.ln) — the transpose of the conventional
     # TBN map. Reproduced exactly.
-    w = tex_wh[jnp.maximum(tex_id, 0)]
-    tw = w[..., 0].astype(jnp.float32)
-    th = w[..., 1].astype(jnp.float32)
+    w = _small_table_rows(jnp.maximum(tex_id, 0), tex_wh)
+    tw = w[..., 0]
+    th = w[..., 1]
     c0 = fetch_nearest(atlas, tex_wh, tex_id, uv)
     origin_norm = jnp.linalg.norm(c0, axis=-1)
     uv_u = jnp.stack([(uv[..., 0] + 1.0) / tw, uv[..., 1]], axis=-1)
@@ -155,21 +155,40 @@ def shade_fragments(
     tex_wh,
     light_pos,
     light_int,
+    active_types=None,
 ):
     """Dispatch over the 5 shader types per fragment.
 
-    shader_type: (...,) i32. Evaluates each present shader branch in a
+    shader_type: (...,) i32. Evaluates each shader branch in a
     masked/vectorized way and selects — the TPU analog of the reference's
     per-shader function-pointer dispatch (Shader.cpp:94-108).
+
+    `active_types`: static tuple of ShaderType values present in the
+    scene; branches not listed are never evaluated (each texture-path
+    branch costs several atlas gathers per pixel, so a scene using only
+    TEXTURE shading pays 1 branch instead of 5).
     """
-    out_normal = shade_normal(normal)
-    out_texture = shade_texture(eye, position, normal, uv, tex_id, atlas, tex_wh, light_pos, light_int)
-    out_phong = shade_phong(eye, position, normal, color, light_pos, light_int)
-    out_disp = shade_displacement(eye, position, normal, uv, tex_id, atlas, tex_wh, light_pos, light_int)
-    out_bump = shade_bump(eye, position, normal, uv, tex_id, atlas, tex_wh, light_pos, light_int)
+    if active_types is None:
+        active_types = tuple(int(t) for t in ShaderType)
+    active = set(int(t) for t in active_types)
+
+    def branch(t):
+        if t == int(ShaderType.NORMAL):
+            return shade_normal(normal)
+        if t == int(ShaderType.TEXTURE):
+            return shade_texture(eye, position, normal, uv, tex_id, atlas,
+                                 tex_wh, light_pos, light_int)
+        if t == int(ShaderType.DISPLACEMENT):
+            return shade_displacement(eye, position, normal, uv, tex_id,
+                                      atlas, tex_wh, light_pos, light_int)
+        if t == int(ShaderType.BUMP):
+            return shade_bump(eye, position, normal, uv, tex_id, atlas,
+                              tex_wh, light_pos, light_int)
+        return shade_phong(eye, position, normal, color, light_pos, light_int)
+
+    types = sorted(active) or [int(ShaderType.PHONG)]
     st = shader_type[..., None]
-    out = jnp.where(st == int(ShaderType.NORMAL), out_normal, out_phong)
-    out = jnp.where(st == int(ShaderType.TEXTURE), out_texture, out)
-    out = jnp.where(st == int(ShaderType.DISPLACEMENT), out_disp, out)
-    out = jnp.where(st == int(ShaderType.BUMP), out_bump, out)
+    out = branch(types[0])
+    for t in types[1:]:
+        out = jnp.where(st == t, branch(t), out)
     return out

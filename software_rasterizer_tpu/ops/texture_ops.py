@@ -6,7 +6,21 @@ quirk, vectorized over fragments from a padded texture atlas.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _small_table_rows(idx, table):
+    """table[idx] for a SMALL table via a one-hot contraction — a fused
+    select chain instead of a per-lane gather (profiling: a 1M-lane
+    gather from a 2-row table cost 11 ms on v5e; this costs ~0.1 ms)."""
+    k = table.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (k,), idx.ndim)
+    oh = (idx[..., None] == iota).astype(jnp.float32)
+    return jnp.einsum(
+        "...k,kc->...c", oh, table.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def fetch_nearest(atlas, tex_wh, tex_id, uv):
@@ -21,8 +35,9 @@ def fetch_nearest(atlas, tex_wh, tex_id, uv):
     clamp uv to [0,1], x=int(u*W), y=int(v*H), out-of-range -> black.
     """
     tid = jnp.maximum(tex_id, 0)
-    w = tex_wh[tid, 0]
-    h = tex_wh[tid, 1]
+    wh = _small_table_rows(tid, tex_wh)
+    w = jnp.round(wh[..., 0]).astype(jnp.int32)
+    h = jnp.round(wh[..., 1]).astype(jnp.int32)
     u = jnp.clip(uv[..., 0], 0.0, 1.0)
     v = jnp.clip(uv[..., 1], 0.0, 1.0)
     x = (u * w.astype(jnp.float32)).astype(jnp.int32)

@@ -34,25 +34,27 @@ class TraditionalRasterizer(RenderingPipeline):
         else:
             self._geom_cache.pop(scene_name, None)
 
-    def _geometry(self, scene: Scene) -> RasterGeometry:
-        g = self._geom_cache.get(scene.name)
-        if g is None or self._geom_rev.get(scene.name) != len(scene.meshes()):
+    def _geometry(self, scene: Scene):
+        entry = self._geom_cache.get(scene.name)
+        if entry is None or self._geom_rev.get(scene.name) != len(scene.meshes()):
             g = scene.raster_geometry()
+            active = tuple(sorted(set(int(t) for t in g.shader_type)))
             g = jax.tree_util.tree_map(jax.device_put, g)
-            self._geom_cache[scene.name] = g
+            entry = (g, active)
+            self._geom_cache[scene.name] = entry
             self._geom_rev[scene.name] = len(scene.meshes())
-        return g
+        return entry
 
     def draw(self, primitive: Primitive = Primitive.TRIANGLES):
         if primitive not in (Primitive.LINES, Primitive.TRIANGLES):
             raise ValueError("Primitive Type is not supported!")
         for scene in self.scenes.values():
-            geom = self._geometry(scene)
+            geom, active = self._geometry(scene)
             frame = scene.raster_frame()
             if primitive == Primitive.TRIANGLES:
                 image, zbuf = render_raster_frame(
                     geom, frame, self.height, self.width,
-                    tile=self.tile, chunk=self.chunk,
+                    tile=self.tile, chunk=self.chunk, active_types=active,
                 )
             else:
                 image, zbuf = rasterize_wireframe(
