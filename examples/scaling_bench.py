@@ -1,0 +1,83 @@
+"""Multi-device scaling harness: path-tracing throughput vs device count
+on a ("spp","tile") mesh (SURVEY.md section 6 north-star: spp/s scaling
+efficiency 1 -> N devices, target >= 80%).
+
+Without pod hardware this runs on the virtual CPU mesh
+(--force-cpu-devices N), which validates the sharding program and the
+measurement harness; on a real multi-chip slice the same script measures
+true ICI scaling.
+
+Usage: python examples/scaling_bench.py [--width 256] [--spp 32]
+       [--force-cpu-devices 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--spp", type=int, default=32)
+    ap.add_argument("--force-cpu-devices", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.force_cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.force_cpu_devices}"
+        ).strip()
+
+    import jax
+
+    if args.force_cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+
+    from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
+    from software_rasterizer_tpu.parallel import make_render_mesh, sharded_path_render
+    from software_rasterizer_tpu.scenes import build_cornell_scene
+    from software_rasterizer_tpu.utils.rng import make_key
+
+    w = args.width
+    scene = build_cornell_scene()
+    scene.set_ndc_matrix(w, w)
+    rt = jax.tree_util.tree_map(
+        jax.device_put, prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+    )
+
+    n_dev = len(jax.devices())
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_dev]
+    block = max((w * w) // max(counts), 256)
+    rows = []
+    base = None
+    for c in counts:
+        n_spp = 2 if c % 2 == 0 else 1
+        mesh = make_render_mesh(n_spp=n_spp, devices=jax.devices()[:c])
+        run = lambda seed: sharded_path_render(
+            rt, mesh, w, w, scene.fovy, make_key(seed),
+            spp=args.spp, block=block, max_bounces=8,
+        ).block_until_ready()
+        run(0)
+        t0 = time.time()
+        run(1)
+        dt = time.time() - t0
+        paths = w * w * args.spp / dt
+        if base is None:
+            base = paths
+        eff = paths / (base * c)
+        rows.append({
+            "devices": c, "mesh": f"{n_spp}x{c // n_spp}",
+            "mpaths_per_s": round(paths / 1e6, 3),
+            "scaling_efficiency": round(eff, 3),
+        })
+        print(json.dumps(rows[-1]))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
