@@ -95,16 +95,6 @@ def _tile_pixels(ty, tx, tile_h, tile_w, dtype=jnp.float32):
     return px.reshape(-1, 3)
 
 
-def _order_key(z):
-    """f32 -> uint32 with the same total order (IEEE sign-magnitude to
-    biased-ordinal map), so a min over keys is a min over z."""
-    u = jax.lax.bitcast_convert_type(z, jnp.uint32)
-    mask = jnp.where(
-        (u >> 31) > 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000)
-    )
-    return u ^ mask
-
-
 def rasterize_tiles(
     coef: jnp.ndarray,
     zrow: jnp.ndarray,
@@ -121,10 +111,9 @@ def rasterize_tiles(
     Returns best_idx (H,W) i32 (-1 where uncovered), best_z (H,W) f32.
     F must be a multiple of `chunk` (pad with keep=False).
 
-    Depth resolve packs (z, lane) into one uint32 sort key (monotonic
-    order map + lane index in the low mantissa bits) so each chunk needs
-    a single fused min-reduce instead of the far costlier variadic
-    (min, argmin) pair; exact per-pixel z is recomputed for the winner.
+    Depth resolve: per chunk, two single-op min-reduces (min z, then the
+    lowest lane among equal-z slots) — exact and far cheaper than one
+    variadic (min, argmin) reduce.
     """
     f = coef.shape[0]
     chunk = min(chunk, f)
@@ -150,14 +139,6 @@ def rasterize_tiles(
     gw = -(-width // tile_w)
     p = tile_h * tile_w
 
-    bits = max((chunk - 1).bit_length(), 1)
-    high_mask = jnp.uint32((0xFFFFFFFF << bits) & 0xFFFFFFFF)
-    lane_mask = jnp.uint32((1 << bits) - 1)
-    miss_base = (
-        jnp.uint32(int(np.float32(np.inf).view(np.uint32)) ^ 0x80000000)
-        & high_mask
-    )
-
     # (3,F,2) matmul operand: column pairs are [alpha_t, beta_t]
     ab_mat = coef.transpose(2, 0, 1)                      # (3,F,2)
     z_mat = zrow.T                                        # (3,F)
@@ -168,7 +149,7 @@ def rasterize_tiles(
         px = _tile_pixels(ty, tx, tile_h, tile_w)         # (P,3)
 
         def chunk_compute(carry, sl):
-            best_k, best_i = carry
+            best_z, best_i = carry
             ab = jax.lax.dynamic_slice(ab_mat, (0, sl, 0), (3, chunk, 2))
             zc = jax.lax.dynamic_slice(z_mat, (0, sl), (3, chunk))
             kz = jax.lax.dynamic_slice(neg_inf_z, (sl,), (chunk,))
@@ -183,14 +164,19 @@ def rasterize_tiles(
             )
             z = px @ zc + kz[None, :]                     # (P,C) MXU
             score = jnp.where(inside, z, INF)
-            lane = jax.lax.broadcasted_iota(jnp.uint32, score.shape, 1)
-            key = (_order_key(score) & high_mask) | lane
-            c_best = jnp.min(key, axis=1)                 # single reduce
-            better = c_best < best_k                      # strict `<` z test
-            c_arg = (c_best & lane_mask).astype(jnp.int32) + sl
-            best_k = jnp.where(better, c_best, best_k)
+            # exact two-pass resolve: min z, then min lane among equal-z
+            # slots (single-op reduces; a variadic (min, argmin) costs
+            # ~30x, and truncated-key packing loses depth resolution)
+            c_best = jnp.min(score, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+            c_arg = jnp.min(
+                jnp.where(score == c_best[:, None], lane, jnp.int32(0x7FFFFFFF)),
+                axis=1,
+            ) + sl
+            better = c_best < best_z                      # strict `<` z test
+            best_z = jnp.where(better, c_best, best_z)
             best_i = jnp.where(better, c_arg, best_i)
-            return (best_k, best_i)
+            return (best_z, best_i)
 
         tx0 = (tx * tile_w).astype(jnp.float32)
         ty0 = (ty * tile_h).astype(jnp.float32)
@@ -211,16 +197,11 @@ def rasterize_tiles(
                 carry = chunk_compute(carry, sl)
             return carry, None
 
-        init = (jnp.full((p,), miss_base, jnp.uint32), jnp.full((p,), -1, jnp.int32))
-        (best_k, best_i), _ = jax.lax.scan(
+        init = (jnp.full((p,), INF), jnp.full((p,), -1, jnp.int32))
+        (best_z, best_i), _ = jax.lax.scan(
             chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
         )
-        # exact z of the winner (affine eval of its depth row)
-        zc_win = z_mat.T[jnp.maximum(best_i, 0)]          # (P,3)
-        best_z = jnp.where(
-            best_k < miss_base, jnp.sum(px * zc_win, axis=1), INF
-        )
-        best_i = jnp.where(best_k < miss_base, best_i, -1)
+        best_i = jnp.where(best_z < INF, best_i, -1)
         return best_z.reshape(tile_h, tile_w), best_i.reshape(tile_h, tile_w)
 
     bz, bi = jax.lax.map(tile_fn, jnp.arange(gh * gw, dtype=jnp.int32))
