@@ -153,7 +153,11 @@ def rasterize_tiles(
             ab = jax.lax.dynamic_slice(ab_mat, (0, sl, 0), (3, chunk, 2))
             zc = jax.lax.dynamic_slice(z_mat, (0, sl), (3, chunk))
             kz = jax.lax.dynamic_slice(neg_inf_z, (sl,), (chunk,))
-            bary = px @ ab.reshape(3, chunk * 2)          # (P,2C) MXU
+            # HIGH precision: the default bf16 MXU pass quantizes z to
+            # ~2^-8 relative (0.35 at the reference's z-remap offset ~90),
+            # destroying fine depth separation
+            bary = jnp.dot(px, ab.reshape(3, chunk * 2),
+                           precision=jax.lax.Precision.HIGHEST)
             bary = bary.reshape(p, chunk, 2)
             alpha, beta = bary[..., 0], bary[..., 1]
             gamma = 1.0 - alpha - beta
@@ -162,8 +166,12 @@ def rasterize_tiles(
                 & (beta > 0) & (beta < 1)
                 & (gamma > 0) & (gamma < 1)
             )
-            z = px @ zc + kz[None, :]                     # (P,C) MXU
+            z = jnp.dot(px, zc, precision=jax.lax.Precision.HIGHEST) + kz[None, :]
             score = jnp.where(inside, z, INF)
+            # barrier: both reduces must read the SAME score values (XLA
+            # may otherwise recompute the producer chain per consumer
+            # with different fusions, breaking the equality match)
+            score = jax.lax.optimization_barrier(score)
             # exact two-pass resolve: min z, then min lane among equal-z
             # slots (single-op reduces; a variadic (min, argmin) costs
             # ~30x, and truncated-key packing loses depth resolution)
