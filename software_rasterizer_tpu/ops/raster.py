@@ -148,25 +148,28 @@ def rasterize_tiles(
         ty, tx = tidx // gw, tidx % gw
         px = _tile_pixels(ty, tx, tile_h, tile_w)         # (P,3)
 
+        px_x = px[:, 0:1]                                 # (P,1)
+        px_y = px[:, 1:2]
+
         def chunk_compute(carry, sl):
             best_z, best_i = carry
             ab = jax.lax.dynamic_slice(ab_mat, (0, sl, 0), (3, chunk, 2))
             zc = jax.lax.dynamic_slice(z_mat, (0, sl), (3, chunk))
             kz = jax.lax.dynamic_slice(neg_inf_z, (sl,), (chunk,))
-            # HIGH precision: the default bf16 MXU pass quantizes z to
-            # ~2^-8 relative (0.35 at the reference's z-remap offset ~90),
-            # destroying fine depth separation
-            bary = jnp.dot(px, ab.reshape(3, chunk * 2),
-                           precision=jax.lax.Precision.HIGHEST)
-            bary = bary.reshape(p, chunk, 2)
-            alpha, beta = bary[..., 0], bary[..., 1]
+            # K=3 affine evals as exact f32 VPU broadcast FMAs ((P,1) x
+            # (1,C) planes). An MXU matmul here runs at K/128 utilization
+            # AND the default bf16 pass quantizes z to ~2^-8 relative
+            # (0.35 absolute at the reference z-remap offset ~90),
+            # destroying fine depth separation.
+            alpha = px_x * ab[0, :, 0][None] + px_y * ab[1, :, 0][None] + ab[2, :, 0][None]
+            beta = px_x * ab[0, :, 1][None] + px_y * ab[1, :, 1][None] + ab[2, :, 1][None]
             gamma = 1.0 - alpha - beta
             inside = (
                 (alpha > 0) & (alpha < 1)
                 & (beta > 0) & (beta < 1)
                 & (gamma > 0) & (gamma < 1)
             )
-            z = jnp.dot(px, zc, precision=jax.lax.Precision.HIGHEST) + kz[None, :]
+            z = px_x * zc[0][None] + px_y * zc[1][None] + zc[2][None] + kz[None, :]
             score = jnp.where(inside, z, INF)
             # barrier: both reduces must read the SAME score values (XLA
             # may otherwise recompute the producer chain per consumer
