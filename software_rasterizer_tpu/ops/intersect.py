@@ -308,7 +308,9 @@ def _intersect_tri_raw(orig, d, v0, v1, v2, valid, chunk: int = 512,
         # two single-op reduces (min t, then min lane among the equal-t
         # slots) — exact, and far cheaper than one variadic (min, argmin)
         # reduce, which profiling showed costing 30x the intersection math.
-        # The barrier pins both reduces to one materialization of t.
+        # The barrier also pins t to ONE materialization — without it XLA
+        # duplicates the whole 40-op chain into each reduce's fusion
+        # (measured 4.15 vs 4.76 Mpaths/s end to end).
         t = jax.lax.optimization_barrier(t)
         ct = jnp.min(t, axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
