@@ -90,6 +90,60 @@ def bench_raster(width, height, repeats):
     }))
 
 
+def bench_whitted(width, height, repeats):
+    """Whitted mode: the reference main.cpp demo (glass + diffuse spheres,
+    textured spot + crate) — the reference publishes no numbers for this
+    pipeline (BASELINE.md), so vs_baseline reports Mrays/s per chip
+    against the reference PATH tracer's ~10 Mrays/s CPU estimate."""
+    import sys as _s
+    import time as _t
+
+    import jax
+
+    _s.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
+    from whitted_demo import build_scene, set_frame_matrices
+
+    from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
+    from software_rasterizer_tpu.ops.whitted import whitted_render
+    from software_rasterizer_tpu.utils.rng import make_key
+
+    scene = build_scene()
+    set_frame_matrices(scene, 0.0)
+    scene.set_ndc_matrix(width, height)
+    geom = jax.tree_util.tree_map(jax.device_put, scene.rt_geometry())
+
+    def frame(deg):
+        set_frame_matrices(scene, deg)
+        rt = prepare_rt_scene(geom, scene.rt_frame())
+        img = whitted_render(rt, width, height, scene.fovy, make_key(0),
+                             spp=1, max_depth=scene.max_depth)
+        img.block_until_ready()
+        return img
+
+    t0 = _t.time()
+    frame(0.0)
+    compile_s = _t.time() - t0
+    times = []
+    for r in range(repeats):
+        t0 = _t.time()
+        frame(10.0 * (r + 1))
+        times.append(_t.time() - t0)
+    best = min(times)
+    # primary + shadow rays per pixel, plus specular continuations:
+    # conservatively count primary rays only (true ray count is higher)
+    mrays = width * height / best / 1e6
+    print(json.dumps({
+        "metric": "whitted_primary_rays_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 10.0, 3),
+        "config": f"{width}x{height} main.cpp demo scene",
+        "device": str(jax.devices()[0]),
+        "render_s": round(best, 3),
+        "first_call_s": round(compile_s, 3),
+    }))
+
+
 def main():
     import jax
 
@@ -102,11 +156,14 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", 16))
     repeats = int(os.environ.get("BENCH_REPEATS", 2))
 
-    if os.environ.get("BENCH_MODE", "path") == "raster":
+    mode = os.environ.get("BENCH_MODE", "path")
+    if mode in ("raster", "whitted"):
         try:
-            return bench_raster(width, height, repeats)
+            if mode == "raster":
+                return bench_raster(width, height, repeats)
+            return bench_whitted(width, height, repeats)
         except Exception as e:  # assets missing etc. -> fall through
-            print(f"# raster bench unavailable ({e}); falling back to path",
+            print(f"# {mode} bench unavailable ({e}); falling back to path",
                   file=sys.stderr)
 
     scene = build_cornell_scene()
