@@ -109,6 +109,10 @@ def _compact(children: dict, capacity: int) -> dict:
     return {k: v[order] for k, v in children.items()}
 
 
+def _align_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def whitted_trace(
     scene: RTScene,
     orig,
@@ -119,11 +123,20 @@ def whitted_trace(
     block: int = 8192,
     chunk: int = 512,
     queue_factor: int = 2,
+    queue_shrink: float = 0.5,
 ):
     """Trace one Whitted sample tree per lane. orig/d: (N,3) normalized
     camera rays. Returns (N,3) radiance. (Scene::whittedRayTracing per
     ray; the lane set may be any subset of the framebuffer, which is how
-    parallel/render.py shards the screen across devices.)"""
+    parallel/render.py shards the screen across devices.)
+
+    Child queues shrink geometrically: depth d's capacity is
+    min(n * queue_factor, n * queue_shrink**d) lanes (aligned up, floor
+    1024). Only specular (glass/mirror) hits spawn children, so the live
+    population collapses after depth 1 for typical scenes; compaction
+    sorts live lanes first, and overflow beyond capacity (scenes more
+    than ~queue_shrink specular by screen area per depth) drops the
+    tail. Set queue_shrink=1.0 for the reference's full-width behavior."""
     n = orig.shape[0]
     img = jnp.zeros((n, 3))
 
@@ -196,14 +209,20 @@ def whitted_trace(
             k: jnp.concatenate([child_reflect[k], child_refract[k]])
             for k in child_reflect
         }
-        rays = _compact(children, min(n * queue_factor, children["live"].shape[0]))
+        cap_next = min(
+            n * queue_factor,
+            children["live"].shape[0],
+            max(_align_up(int(n * queue_shrink ** (depth + 1)), 256), 1024),
+        )
+        rays = _compact(children, cap_next)
 
     return img
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "block", "chunk", "queue_factor"),
+    static_argnames=("width", "height", "spp", "max_depth", "block", "chunk",
+                     "queue_factor", "queue_shrink"),
 )
 def whitted_render(
     scene: RTScene,
@@ -216,10 +235,12 @@ def whitted_render(
     block: int = 8192,
     chunk: int = 512,
     queue_factor: int = 2,
+    queue_shrink: float = 0.5,
 ):
     """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp)."""
     orig, d = camera_rays(scene.eye, fovy, width, height)
     img = whitted_trace(
-        scene, orig, d, key, spp, max_depth, block, chunk, queue_factor
+        scene, orig, d, key, spp, max_depth, block, chunk, queue_factor,
+        queue_shrink,
     )
     return img.reshape(height, width, 3)
