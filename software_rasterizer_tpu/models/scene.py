@@ -26,7 +26,7 @@ from typing import Dict, List, NamedTuple, Optional, Tuple, Union
 import numpy as np
 
 from software_rasterizer_tpu.models.lights import PointLight, pack_lights
-from software_rasterizer_tpu.models.material import Material, MaterialTable
+from software_rasterizer_tpu.models.material import MaterialTable
 from software_rasterizer_tpu.models.objects import (
     MeshObject,
     SceneObject,

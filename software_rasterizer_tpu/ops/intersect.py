@@ -15,12 +15,10 @@ Scene.cpp:882-901, minus the needless per-frame BVH rebuild).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from software_rasterizer_tpu.ops.raster import hom_transform
 from software_rasterizer_tpu.ops.texture_ops import fetch_nearest

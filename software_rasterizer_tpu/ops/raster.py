@@ -27,7 +27,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from software_rasterizer_tpu.ops import shading as sh
 

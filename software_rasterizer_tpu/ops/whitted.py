@@ -23,14 +23,12 @@ Faithful quirks:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
 from software_rasterizer_tpu.ops import optics
 from software_rasterizer_tpu.ops.camera import camera_rays
-from software_rasterizer_tpu.ops.intersect import BIG, Hit, RTScene, nearest_hit
+from software_rasterizer_tpu.ops.intersect import Hit, RTScene, nearest_hit
 
 EPSILON = 1e-5  # Scene.hpp:160
 

@@ -10,7 +10,7 @@ SURVEY.md 7.4). Framebuffer clear semantics match Render.cpp:31-55
 from __future__ import annotations
 
 import enum
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
