@@ -57,7 +57,7 @@ class RasterGeometry(NamedTuple):
     face_valid: np.ndarray  # (F,) bool
     shader_type: np.ndarray  # (M,) i32 per mesh
     tex_id: np.ndarray      # (M,) i32 per mesh (-1 = none)
-    textures: np.ndarray    # (K,Hm,Wm,3) f32 atlas (K >= 1)
+    textures: np.ndarray    # (K,Hm,Wm,3) u8 atlas (K >= 1)
     tex_wh: np.ndarray      # (K,2) i32 (width, height)
 
 
@@ -257,7 +257,11 @@ class Scene:
         return out
 
     def _texture_atlas(self, bindings: List[Optional[ShaderBinding]]):
-        """Stack bound textures into one padded (K,Hm,Wm,3) array."""
+        """Stack bound textures into one padded (K,Hm,Wm,3) uint8 array.
+
+        uint8 storage: the device fetch gathers 4x fewer bytes and
+        converts u8/255 AFTER the gather — bit-identical to loading f32
+        texels (the decode does the same u8 -> f32/255)."""
         texs: List[Texture] = []
         ids: Dict[int, int] = {}
         for b in bindings:
@@ -265,15 +269,15 @@ class Scene:
                 ids[id(b.texture)] = len(texs)
                 texs.append(b.texture)
         if not texs:
-            atlas = np.zeros((1, 1, 1, 3), np.float32)
+            atlas = np.zeros((1, 1, 1, 3), np.uint8)
             wh = np.array([[1, 1]], np.int32)
             return atlas, wh, ids
         hm = max(t.height for t in texs)
         wm = max(t.width for t in texs)
-        atlas = np.zeros((len(texs), hm, wm, 3), np.float32)
+        atlas = np.zeros((len(texs), hm, wm, 3), np.uint8)
         wh = np.zeros((len(texs), 2), np.int32)
         for i, t in enumerate(texs):
-            atlas[i, : t.height, : t.width] = t.data
+            atlas[i, : t.height, : t.width] = np.round(t.data * 255.0).astype(np.uint8)
             wh[i] = (t.width, t.height)
         return atlas, wh, ids
 

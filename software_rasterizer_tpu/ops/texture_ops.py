@@ -26,7 +26,7 @@ def _small_table_rows(idx, table):
 def fetch_nearest(atlas, tex_wh, tex_id, uv):
     """Gather texel colors.
 
-    atlas:  (K,Hm,Wm,3) f32 padded texture stack
+    atlas:  (K,Hm,Wm,3) u8 padded texture stack (f32 also accepted)
     tex_wh: (K,2) i32 (width, height) valid extents
     tex_id: (...,) i32 texture index (-1 = no texture -> black)
     uv:     (...,2) f32
@@ -46,4 +46,8 @@ def fetch_nearest(atlas, tex_wh, tex_id, uv):
     xs = jnp.minimum(x, w - 1)
     ys = jnp.minimum(y, h - 1)
     out = atlas[tid, ys, xs]
+    if out.dtype == jnp.uint8:
+        # u8 gather (4x less traffic) then the same u8 -> f32/255 the
+        # loader would apply: bit-identical texel values
+        out = out.astype(jnp.float32) / 255.0
     return jnp.where(oob[..., None], 0.0, out)

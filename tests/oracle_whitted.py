@@ -45,7 +45,10 @@ def trace(s, o, d):
             vi = min(int(np.clip(uvi[1], 0, 1) * th), th - 1)
             oob = (int(np.clip(uvi[0], 0, 1) * tw) >= tw
                    or int(np.clip(uvi[1], 0, 1) * th) >= th)
-            color = np.zeros(3) if oob else s["textures"][tex, vi, ui]
+            texel = s["textures"][tex, vi, ui]
+            if texel.dtype == np.uint8:
+                texel = texel.astype(np.float64) / 255.0
+            color = np.zeros(3) if oob else texel
         else:
             color = s["mat_kd"][mat]
         best = {"t": t[i], "coords": o + d * t[i], "normal": nrm,
