@@ -94,7 +94,7 @@ def path_trace(
     p_rr: float = 0.8,
     max_bounces: int = 16,
     chunk: int = 512,
-    compact_schedule=(1.0, 0.5, 0.25, 0.125),
+    compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07),
 ):
     """One path-tracing sample per lane. orig/d: (N,3). Returns (N,3)
     radiance (the reference's Scene::pathTracing per camera ray).
@@ -103,10 +103,11 @@ def path_trace(
     len(compact_schedule) groups; before each group the live lanes are
     compacted to `schedule[g] * N` slots (stable partition by liveness).
     Russian roulette kills ~(1-p_rr) of lanes per bounce, so the realized
-    live fraction (~0.8^b) stays below the capacity curve with ~4-sigma
-    binomial margin; the (astronomically rare) overflowing lanes would be
-    dropped, a bias far below the Monte-Carlo noise floor. Set
-    compact_schedule=(1.0,) to disable (every bounce at full width)."""
+    live fraction (~0.8^b, further reduced by miss/emissive kills) stays
+    below the capacity curve (default: 0.8^boundary + ~10-35% margin);
+    the (astronomically rare) overflowing lanes would be dropped, a bias
+    far below the Monte-Carlo noise floor. Set compact_schedule=(1.0,)
+    to disable (every bounce at full width)."""
     n_lanes = orig.shape[0]
     hit = nearest_hit(scene, orig, d, chunk)
     radiance = jnp.where((~hit.hit)[:, None], scene.background, 0.0)
@@ -184,7 +185,7 @@ def path_trace(
 
 
 def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
-                        block_offset=0, compact_schedule=(1.0, 0.5, 0.25, 0.125)):
+                        block_offset=0, compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07)):
     """path_trace mapped over fixed-size lane blocks to bound the
     (lanes x primitives) working set (the wavefront analog of the
     reference's 16x16 TBB pixel tiles, PathTracing.cpp:44-46).
@@ -236,7 +237,7 @@ def path_render(
     max_bounces: int = 16,
     block: int = 1 << 16,
     chunk: int = 512,
-    compact_schedule=(1.0, 0.5, 0.25, 0.125),
+    compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07),
 ):
     """Render one frame: mean over `spp` stochastic samples of the same
     deterministic primary rays (PathTracing.cpp:62-77). Returns (H,W,3)
@@ -267,7 +268,7 @@ def path_render_accumulate(
     max_bounces: int = 16,
     block: int = 1 << 16,
     chunk: int = 512,
-    compact_schedule=(1.0, 0.5, 0.25, 0.125),
+    compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07),
 ):
     """Add `n_samples` fresh per-lane samples into the running sum image
     `acc` (N,3). Sample indices [start_sample, start_sample+n_samples)
