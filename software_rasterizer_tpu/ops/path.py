@@ -125,7 +125,7 @@ def path_trace(
         per_group[i] += 1
 
     def bounce(carry, b):
-        state, radiance = carry
+        state, acc = carry
         hit, live, tp, pixel = (
             state["hit"], state["live"], state["tp"], state["pixel"]
         )
@@ -154,9 +154,11 @@ def path_trace(
         nxt = nearest_hit(scene, o2, wi, chunk)
 
         direct = _nee_eval(scene, hit, n, l, pdf_l, shadow)
-        radiance = radiance.at[pixel].add(
-            jnp.where(live[:, None], tp * direct, 0.0)
-        )
+        # lane-local accumulator: pixels are fixed within a bounce group,
+        # so radiance scatters once per GROUP, not once per bounce (and
+        # not at all before the first compaction) — scatters at wavefront
+        # width measured ~0.5 ms each
+        acc = acc + jnp.where(live[:, None], tp * direct, 0.0)
         live = (
             live
             & survive
@@ -167,19 +169,27 @@ def path_trace(
         w = cos_o / jnp.maximum(pdf * p_rr, 1e-30)
         state = {"hit": nxt, "live": live, "tp": tp * fr * w[:, None],
                  "pixel": pixel}
-        return (state, radiance), None
+        return (state, acc), None
 
     b0 = 0
+    compacted = False
     for g in range(n_groups):
         cap = min(_align_up(int(n_lanes * compact_schedule[g]), 256), n_lanes)
         if cap < state["pixel"].shape[0]:
             order = jnp.argsort(~state["live"], stable=True)[:cap]
             state = jax.tree_util.tree_map(lambda a: a[order], state)
-        (state, radiance), _ = jax.lax.scan(
+            compacted = True
+
+        acc0 = jnp.zeros((state["pixel"].shape[0], 3))
+        (state, acc), _ = jax.lax.scan(
             bounce,
-            (state, radiance),
+            (state, acc0),
             jnp.arange(b0, b0 + per_group[g], dtype=jnp.int32),
         )
+        if compacted:
+            radiance = radiance.at[state["pixel"]].add(acc)
+        else:
+            radiance = radiance + acc
         b0 += per_group[g]
     return radiance
 
