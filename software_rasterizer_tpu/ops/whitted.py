@@ -155,9 +155,6 @@ def whitted_trace(
 
         # miss -> background (Scene.cpp:493-497)
         miss = live & ~hit.hit
-        img = img.at[pixel].add(
-            jnp.where(miss[:, None], weight * scene.background, 0.0)
-        )
 
         mat_type = hit.mat_type
         i_dir = rays["dir"]  # camera/child dirs are normalized on creation
@@ -168,7 +165,14 @@ def whitted_trace(
         direct = whitted_phong_direct(
             scene, hit, i_dir, spp, jax.random.fold_in(key, depth), block, chunk
         )
-        img = img.at[pixel].add(jnp.where(is_diffuse[:, None], weight * direct, 0.0))
+        # one combined radiance deposit per depth; at depth 0 lane i is
+        # pixel i, so a plain add replaces the scatter
+        deposit = jnp.where(miss[:, None], weight * scene.background, 0.0) + \
+            jnp.where(is_diffuse[:, None], weight * direct, 0.0)
+        if depth == 0:
+            img = img + deposit
+        else:
+            img = img.at[pixel].add(deposit)
 
         if depth == max_depth:
             break  # children would exceed depth cap -> contribute black
