@@ -29,9 +29,22 @@ import os as _os
 
 # TPU compiles of the deeply-scanned integrators are expensive (minutes);
 # the persistent cache makes every process after the first start in
-# milliseconds. Opt out by setting the env var to an empty string.
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/srtpu_jax")
-)
+# seconds. The env var alone is NOT enough in this environment — the
+# site initialization imports jax before any user package, so jax's
+# env-derived config is already frozen; set the config directly.
+# Opt out by setting SRT_NO_COMPILATION_CACHE.
+if not _os.environ.get("SRT_NO_COMPILATION_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/srtpu_jax")
+    )
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+            _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # never let cache config break imports
+        pass
 
 from software_rasterizer_tpu.config import RenderConfig  # noqa: F401
