@@ -148,7 +148,10 @@ int32_t srt_parse_obj_counts(const char *text, int64_t len, int32_t *out4) {
       else if (p[0] == 'f' && is_ws(p[1])) {
         int32_t verts = 0;
         const char *q = p + 1;
-        while (q < line_end) {
+        // cap matches the fill pass's 64-vertex face buffer: both passes
+        // must agree on the corner count or the fill pass would leave
+        // uninitialized rows in the caller-allocated output
+        while (q < line_end && verts < 64) {
           while (q < line_end && is_ws(*q)) ++q;
           if (q >= line_end) break;
           ++verts;

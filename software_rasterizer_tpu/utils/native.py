@@ -25,6 +25,22 @@ def _lib_path() -> str:
     )
 
 
+def _try_build(path: str) -> None:
+    """Build the library on demand (`make -C native`). The binary is NOT
+    checked in (a committed .so can go stale vs srt_native.cpp and is
+    platform-specific); failure is tolerated — every caller has a pure-
+    Python fallback."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(path)],
+            capture_output=True, timeout=120, check=False,
+        )
+    except Exception:
+        pass
+
+
 def load() -> Optional[ctypes.CDLL]:
     """Load (once) and return the native library, or None."""
     global _LIB, _TRIED
@@ -32,6 +48,8 @@ def load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     path = _lib_path()
+    if not os.path.exists(path):
+        _try_build(path)
     if not os.path.exists(path):
         return None
     try:

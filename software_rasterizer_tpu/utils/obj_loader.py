@@ -121,6 +121,134 @@ def _angle_weighted_normal(pa: np.ndarray, pb: np.ndarray, pc: np.ndarray) -> np
     return (n / ln).astype(np.float32) if ln > 0 else n.astype(np.float32)
 
 
+def _angle_weighted_normals_vec(pa: np.ndarray, pb: np.ndarray, pc: np.ndarray) -> np.ndarray:
+    """Vectorized Tools::calculateNormalWithWeight over (F,3) corner
+    triples — same dtype (f32) and formula as the scalar version."""
+    ab = pb - pa
+    ac = pc - pa
+    n = np.cross(ab, ac)
+    length = np.linalg.norm(n, axis=-1)
+    denom = np.linalg.norm(ab, axis=-1) * np.linalg.norm(ac, axis=-1)
+    apply = (denom > 0) & ~((length >= -1e-8) & (length <= 1e-8))
+    ratio = np.minimum(np.divide(length, np.where(denom > 0, denom, 1.0)), 1.0)
+    w = np.arcsin(ratio) / np.where(length != 0, length, 1.0)
+    n = np.where(apply[:, None], n * w[:, None], n)
+    ln = np.linalg.norm(n, axis=-1)
+    return np.where((ln > 0)[:, None], n / np.where(ln > 0, ln, 1.0)[:, None], n).astype(np.float32)
+
+
+def _assemble_mesh(
+    positions: np.ndarray,   # (P,3) raw OBJ positions (f32 or f64)
+    normals_in: np.ndarray,  # (N,3)
+    uvs_in: np.ndarray,      # (T,2)
+    corners: np.ndarray,     # (C,3) i32 (v, vt, vn), -1 absent, C = 3*faces
+    material: MtlMaterial,
+    name: str,
+) -> MeshData:
+    """Dedup + normal synthesis, vectorized (the OBJ hot path for large
+    assets; reference analog: ObjLoader::processingVertexData,
+    ObjLoader.cpp:78-195)."""
+    vi = corners[:, 0]
+    ti = corners[:, 1]
+    ni = corners[:, 2]
+    c = vi.shape[0]
+
+    pos = positions[vi]
+    bbox_min = (
+        pos.min(axis=0).astype(np.float32) if c else np.full(3, np.inf, np.float32)
+    )
+    bbox_max = (
+        pos.max(axis=0).astype(np.float32) if c else np.full(3, -np.inf, np.float32)
+    )
+
+    had_normals = bool((ni >= 0).any())
+    if normals_in.size:
+        # normalized on load (f64 math like the scalar path)
+        nn = normals_in.astype(np.float64)
+        ln = np.linalg.norm(nn, axis=-1, keepdims=True)
+        nn = np.where(ln > 0, nn / np.where(ln > 0, ln, 1.0), nn)
+        nrm = np.where((ni >= 0)[:, None], nn[np.maximum(ni, 0)], 0.0)
+    else:
+        nrm = np.zeros((c, 3), np.float64)
+
+    if uvs_in.size:
+        uvr = uvs_in[np.maximum(ti, 0)]
+        # texcoord V flip 1 - v (ObjLoader.cpp:152)
+        uv = np.stack([uvr[:, 0], 1.0 - uvr[:, 1]], axis=1)
+        uv = np.where((ti >= 0)[:, None], uv, 0.0)
+    else:
+        uv = np.zeros((c, 2), positions.dtype)
+
+    # Vertex dedup by exact record equality (ObjLoader.cpp:155-160):
+    # first-occurrence order, like the reference's hash-map insert.
+    # Vertex color is the constant tinyobj default (1,1,1) — excluded
+    # from the key (it cannot distinguish records).
+    records = np.concatenate(
+        [pos.astype(np.float64), nrm.astype(np.float64), uv.astype(np.float64)],
+        axis=1,
+    )
+    records = records + 0.0  # canonicalize -0.0 == +0.0 (value equality)
+    uniq, first, inv = np.unique(
+        records, axis=0, return_index=True, return_inverse=True
+    )
+    order = np.argsort(first, kind="stable")
+    rank = np.empty(order.shape[0], np.int64)
+    rank[order] = np.arange(order.shape[0])
+    indices = rank[inv.reshape(-1)]
+    src = first[order]  # corner row that introduced each unique vertex
+
+    vertices = pos[src].astype(np.float32).reshape(-1, 3)
+    normals = nrm[src].astype(np.float32).reshape(-1, 3)
+    uvs = uv[src].astype(np.float32).reshape(-1, 2)
+    colors = np.ones((vertices.shape[0], 3), np.float32)
+
+    n_faces = c // 3
+    faces = indices.astype(np.int32).reshape(n_faces, 3)
+
+    if not had_normals and n_faces:
+        # Missing-normal synthesis, per-face overwrite in face order
+        # (ObjLoader.cpp:166-186 quirk: shared vertices end with the LAST
+        # face's normal). Flat fancy-index assignment in corner order
+        # reproduces the write order exactly (later rows win).
+        pa = vertices[faces[:, 0]]
+        pb = vertices[faces[:, 1]]
+        pc = vertices[faces[:, 2]]
+        na = _angle_weighted_normals_vec(pa, pb, pc)
+        nb = _angle_weighted_normals_vec(pb, pc, pa)
+        ncr = _angle_weighted_normals_vec(pc, pa, pb)
+        vals = np.stack([na, nb, ncr], axis=1).reshape(-1, 3)
+        normals[faces.reshape(-1)] = vals
+
+    return MeshData(
+        name=name,
+        vertices=vertices,
+        normals=normals,
+        uvs=uvs,
+        colors=colors,
+        faces=faces,
+        material=material,
+        bbox_min=bbox_min,
+        bbox_max=bbox_max,
+        had_normals=had_normals,
+    )
+
+
+def _scan_header_lines(text: str) -> Tuple[List[str], str]:
+    """mtllib file list + first o/g name (the only non-geometry state the
+    native scanner does not extract)."""
+    import re
+
+    mtl_files: List[str] = []
+    obj_name = ""
+    for m in re.finditer(r"(?m)^[ \t]*(mtllib|o|g)[ \t]+(.+?)[ \t\r]*$", text):
+        key, val = m.group(1), m.group(2)
+        if key == "mtllib":
+            mtl_files.extend(val.split())
+        elif not obj_name:
+            obj_name = val.split()[0]
+    return mtl_files, obj_name
+
+
 def load_obj(path: str, name: str = "") -> MeshData:
     """Load an OBJ file into deduplicated SoA arrays."""
     with open(path, "r", errors="replace") as f:
@@ -130,14 +258,46 @@ def load_obj(path: str, name: str = "") -> MeshData:
         )
 
 
-def load_obj_source(text: str, name: str = "", base_dir: str = "") -> MeshData:
-    """Parse OBJ content from a string (same pipeline as `load_obj`)."""
+def load_obj_source(text: str, name: str = "", base_dir: str = "",
+                    use_native: bool = True) -> MeshData:
+    """Parse OBJ content from a string (same pipeline as `load_obj`).
+
+    Fast path: the native scanner (native/srt_native.cpp
+    srt_parse_obj_counts/srt_parse_obj) tokenizes v/vn/vt/f lines in C++;
+    assembly (dedup, V-flip, normal synthesis) is vectorized NumPy either
+    way. Falls back to a pure-Python scan when the library is unavailable.
+    """
+    parsed = None
+    if use_native:
+        from software_rasterizer_tpu.utils import native
+
+        parsed = native.parse_obj_native(text)
+
+    mtl_files, obj_name = _scan_header_lines(text)
+    mats: Dict[str, MtlMaterial] = {}
+    for mf in mtl_files:
+        mp = os.path.join(base_dir, mf)
+        if os.path.exists(mp):
+            mats.update(parse_mtl(mp))
+    material = _last_material(mats)
+
+    if parsed is not None:
+        pos, nrm, uv, corners = parsed
+    else:
+        pos, nrm, uv, corners = _scan_obj_python(text)
+
+    return _assemble_mesh(
+        pos, nrm, uv, corners, material, name or obj_name or "mesh"
+    )
+
+
+def _scan_obj_python(text: str):
+    """Pure-Python OBJ geometry scan (fallback; same outputs as the native
+    scanner: positions, normals, uvs, fan-triangulated corner triples)."""
     positions: List[Tuple[float, float, float]] = []
     normals_in: List[Tuple[float, float, float]] = []
     uvs_in: List[Tuple[float, float]] = []
-    face_corners: List[Tuple[int, int, int]] = []  # (v, vt, vn) indices, -1 = absent
-    mtl_files: List[str] = []
-    obj_name = ""
+    face_corners: List[Tuple[int, int, int]] = []  # (v, vt, vn), -1 absent
 
     for raw in text.splitlines():
         line = raw.strip()
@@ -151,10 +311,6 @@ def load_obj_source(text: str, name: str = "", base_dir: str = "") -> MeshData:
             normals_in.append(tuple(float(v) for v in vals[:3]))
         elif key == "vt":
             uvs_in.append(tuple(float(v) for v in vals[:2]))
-        elif key == "mtllib":
-            mtl_files.extend(vals)
-        elif key in ("o", "g") and not obj_name and vals:
-            obj_name = vals[0]
         elif key == "f":
             corners = []
             for tok in vals:
@@ -173,75 +329,9 @@ def load_obj_source(text: str, name: str = "", base_dir: str = "") -> MeshData:
                 face_corners.append(corners[k])
                 face_corners.append(corners[k + 1])
 
-    # MTL: resolve relative to the OBJ's directory; keep last material.
-    mats: Dict[str, MtlMaterial] = {}
-    for mf in mtl_files:
-        mp = os.path.join(base_dir, mf)
-        if os.path.exists(mp):
-            mats.update(parse_mtl(mp))
-    material = _last_material(mats)
-
-    had_normals = any(ni >= 0 for (_, _, ni) in face_corners)
-
-    # Vertex dedup by exact record equality (ObjLoader.cpp:155-160).
-    unique: Dict[tuple, int] = {}
-    v_pos: List[Tuple[float, float, float]] = []
-    v_nrm: List[Tuple[float, float, float]] = []
-    v_uv: List[Tuple[float, float]] = []
-    v_col: List[Tuple[float, float, float]] = []
-    indices: List[int] = []
-    bbox_min = np.full(3, np.inf, np.float32)
-    bbox_max = np.full(3, -np.inf, np.float32)
-
-    for (vi, ti, ni) in face_corners:
-        pos = positions[vi]
-        bbox_min = np.minimum(bbox_min, np.asarray(pos, np.float32))
-        bbox_max = np.maximum(bbox_max, np.asarray(pos, np.float32))
-        col = (1.0, 1.0, 1.0)  # tinyobj default vertex color
-        if ni >= 0:
-            n = np.asarray(normals_in[ni], np.float64)
-            ln = np.linalg.norm(n)
-            nrm = tuple((n / ln) if ln > 0 else n)  # normalized on load
-        else:
-            nrm = (0.0, 0.0, 0.0)
-        uv = (uvs_in[ti][0], 1.0 - uvs_in[ti][1]) if ti >= 0 else (0.0, 0.0)
-        record = (pos, nrm, uv, col)
-        idx = unique.get(record)
-        if idx is None:
-            idx = len(v_pos)
-            unique[record] = idx
-            v_pos.append(pos)
-            v_nrm.append(nrm)
-            v_uv.append(uv)
-            v_col.append(col)
-        indices.append(idx)
-
-    n_faces = len(indices) // 3
-    faces = np.asarray(indices, np.int32).reshape(n_faces, 3)
-    vertices = np.asarray(v_pos, np.float32).reshape(-1, 3)
-    normals = np.asarray(v_nrm, np.float32).reshape(-1, 3)
-    uvs = np.asarray(v_uv, np.float32).reshape(-1, 2)
-    colors = np.asarray(v_col, np.float32).reshape(-1, 3)
-
-    if not had_normals:
-        # Per-face overwrite in face order (ObjLoader.cpp:166-186 quirk:
-        # shared vertices end with the LAST face's normal).
-        for i in range(n_faces):
-            a, b, c = faces[i]
-            pa, pb, pc = vertices[a], vertices[b], vertices[c]
-            normals[a] = _angle_weighted_normal(pa, pb, pc)
-            normals[b] = _angle_weighted_normal(pb, pc, pa)
-            normals[c] = _angle_weighted_normal(pc, pa, pb)
-
-    return MeshData(
-        name=name or obj_name or "mesh",
-        vertices=vertices,
-        normals=normals,
-        uvs=uvs,
-        colors=colors,
-        faces=faces,
-        material=material,
-        bbox_min=bbox_min,
-        bbox_max=bbox_max,
-        had_normals=had_normals,
+    return (
+        np.asarray(positions, np.float64).reshape(-1, 3),
+        np.asarray(normals_in, np.float64).reshape(-1, 3),
+        np.asarray(uvs_in, np.float64).reshape(-1, 2),
+        np.asarray(face_corners, np.int32).reshape(-1, 3),
     )

@@ -108,3 +108,60 @@ def test_texture_fetch_quirks(tmp_path):
     uvs = np.random.RandomState(0).rand(16, 2).astype(np.float32)
     out = tex.fetch(uvs)
     assert out.shape == (16, 3)
+
+
+def test_native_scan_matches_python_scan():
+    """The native OBJ fast path must produce the same mesh as the pure-
+    Python scan on the reference assets (dedup, normals, uvs, faces)."""
+    from software_rasterizer_tpu.utils import native
+    from software_rasterizer_tpu.utils.obj_loader import load_obj_source
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    import pathlib
+
+    models = pathlib.Path("/root/reference/examples/models")
+    for rel in ("spot/spot_triangulated_good.obj", "bunny/bunny.obj",
+                "cornellbox/cornellbox_parts/tallbox.obj"):
+        p = models / rel
+        if not p.exists():
+            continue
+        text = p.read_text(errors="replace")
+        a = load_obj_source(text, base_dir=str(p.parent), use_native=True)
+        b = load_obj_source(text, base_dir=str(p.parent), use_native=False)
+        assert a.vertices.shape == b.vertices.shape
+        np.testing.assert_allclose(a.vertices, b.vertices, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(a.normals, b.normals, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(a.uvs, b.uvs, rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(a.faces, b.faces)
+        np.testing.assert_allclose(a.bbox_min, b.bbox_min, atol=1e-6)
+        np.testing.assert_allclose(a.bbox_max, b.bbox_max, atol=1e-6)
+
+
+def test_native_scan_huge_face_capped_consistently():
+    """A face with >64 vertices: the counts pass and the fill pass must
+    agree (previously the counts pass over-reported and the caller got
+    uninitialized rows)."""
+    from software_rasterizer_tpu.utils import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    import math
+
+    nv = 100
+    lines = [
+        f"v {math.cos(2 * math.pi * i / nv):.6f} {math.sin(2 * math.pi * i / nv):.6f} 0"
+        for i in range(nv)
+    ]
+    lines.append("f " + " ".join(str(i + 1) for i in range(nv)))
+    out = native.parse_obj_native("\n".join(lines))
+    assert out is not None
+    pos, nrm, uv, corners = out
+    assert pos.shape == (nv, 3)
+    # fan over the first 64 vertices only — and every row initialized
+    assert corners.shape == (3 * (64 - 2), 3)
+    assert corners[:, 0].min() >= 0 and corners[:, 0].max() < 64

@@ -94,3 +94,36 @@ def test_sharded_validation_errors(cornell_rt):
     with pytest.raises(ValueError, match="spp"):
         sharded_path_render(rt, m8, W, H, scene.fovy, jax.random.PRNGKey(0),
                             spp=3, block=BLOCK)
+
+
+def _two_emitter_scene():
+    """Cornell + an extra sphere light: exercises per-lane emitter picks
+    (with one emitter the pick is deterministic and bugs hide)."""
+    from software_rasterizer_tpu.models import Material, MaterialType, SphereLight
+
+    scene = build_cornell_scene()
+    lm = Material(type=MaterialType.DIFFUSE_AND_GLOSSY, Kd=(0.9,) * 3,
+                  emission=(20.0, 18.0, 15.0))
+    scene.add_graphic_obj(SphereLight((150.0, 400.0, 250.0), (1.0,) * 3, 40.0, lm),
+                          "light2")
+    scene.set_ndc_matrix(W, H)
+    return scene, prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+
+
+def test_whitted_sharded_multi_emitter_matches():
+    """With TWO emitters the per-lane emitter pick must still make the
+    sharded render reproduce the monolithic one exactly (picks are keyed
+    by absolute ray identity, not local lane position)."""
+    scene, rt = _two_emitter_scene()
+    key = jax.random.PRNGKey(7)
+    mono = whitted_render(rt, W, H, scene.fovy, key, spp=2, max_depth=3)
+    m8 = make_render_mesh(n_spp=2, n_tile=4)
+    shard = sharded_whitted_render(rt, m8, W, H, scene.fovy, key, spp=2,
+                                   max_depth=3)
+    np.testing.assert_allclose(np.array(shard), np.array(mono), rtol=1e-5, atol=1e-6)
+    # sanity: the two-emitter picks actually differ across lanes somewhere
+    # (a constant pick would make this test as weak as the 1-emitter one)
+    from software_rasterizer_tpu.utils.rng import lane_uniforms
+
+    u = np.array(lane_uniforms(key, jnp.arange(1024, dtype=jnp.int32), 0))
+    assert 0.3 < (u < 0.5).mean() < 0.7 and np.unique(u).size > 1000

@@ -188,3 +188,25 @@ def test_variance_decreases_with_spp(cornell_rt):
         return np.abs(a - b).mean()
 
     assert noise(16, 1) < noise(1, 2)
+
+
+def test_path_overflow_accounting(cornell_rt):
+    """A schedule tighter than the survival curve must REPORT dropped live
+    lanes; the default schedule must report zero on Cornell."""
+    scene, rt = cornell_rt
+    from software_rasterizer_tpu.ops.camera import camera_rays
+    from software_rasterizer_tpu.ops.path import path_trace
+
+    rt = jax.tree_util.tree_map(jnp.asarray, rt)
+    orig, d = camera_rays(rt.eye, scene.fovy, 64, 64)
+    key = jax.random.PRNGKey(0)
+    # pathological: no Russian roulette kill (p_rr=1) and a near-zero
+    # capacity (256-lane floor) after ONE bounce, when ~25% of 4096
+    # lanes are still live -> guaranteed overflow
+    _, stats = path_trace(rt, orig, d, key, p_rr=1.0, max_bounces=2,
+                          chunk=128, compact_schedule=(1.0, 0.01),
+                          with_stats=True)
+    assert int(stats["dropped_lanes"]) > 0
+    _, stats0 = path_trace(rt, orig, d, key, p_rr=0.8, max_bounces=8,
+                           chunk=128, with_stats=True)
+    assert int(stats0["dropped_lanes"]) == 0

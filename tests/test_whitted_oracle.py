@@ -59,3 +59,26 @@ def test_demo_whitted_matches_oracle(models_dir):
     # grazing/silhouette pixels may flip branches between f32 and the f64
     # oracle; allow a small population
     _compare(scene, rt, pixels, tol=3e-2, allow_bad=3)
+
+
+def test_whitted_overflow_accounting(models_dir):
+    """A tight queue_shrink on the specular-heavy demo scene must REPORT
+    dropped child rays; the lossless queue_shrink=1.0 must report zero."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    from whitted_demo import build_scene, set_frame_matrices
+
+    scene = build_scene()
+    set_frame_matrices(scene, 0.0)
+    scene.set_ndc_matrix(128, 128)
+    rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+    key = jax.random.PRNGKey(0)
+    img_tight, stats_tight = whitted_render(
+        rt, 128, 128, scene.fovy, key, spp=1, max_depth=3,
+        queue_shrink=0.02, with_stats=True)
+    img_full, stats_full = whitted_render(
+        rt, 128, 128, scene.fovy, key, spp=1, max_depth=3,
+        queue_shrink=1.0, with_stats=True)
+    assert int(stats_full["dropped_rays"]) == 0
+    assert int(stats_tight["dropped_rays"]) > 0
