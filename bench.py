@@ -1,12 +1,25 @@
-"""Benchmark: Cornell Box path tracing throughput on the attached device.
+"""Benchmark harness: all three render pipelines on the attached device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Baseline: the reference CPU path tracer sustains ~2.65 Mpaths/s on a
-16-core i7-12800HX (Cornell 1024x1024 @ 2048 spp in ~13.5 min —
-BASELINE.md, README.md:561,613). Methodology mirrors the reference:
-time the render step only (compile excluded, like its warmup frames).
+Prints ONE JSON line per pipeline (raster, whitted, path — path last,
+it is the headline metric the driver parses):
+    {"metric", "value", "unit", "vs_baseline", ...}
 
-Env overrides: BENCH_WIDTH/BENCH_HEIGHT/BENCH_SPP/BENCH_REPEATS.
+Baselines (reference i7-12800HX, BASELINE.md):
+  * raster: 58.6 fps median @1024^2 ~6K tris (README.md:612 — 17.06 ms
+    per-frame median, individually timed draw() calls)
+  * path:   2.65 Mpaths/s (Cornell 1024^2@2048spp in ~13.5 min,
+    README.md:561,613)
+  * whitted: no published reference numbers; vs_baseline compares
+    Mrays/s against the reference PATH tracer's ~10 Mrays/s estimate.
+
+Methodology mirrors the reference: render step only, compile excluded
+(its 100-frame warmup), rotation varied per frame for raster
+(README.md:629-642). Raster reports the TRUE per-frame median (each
+frame individually dispatched and blocked) plus the pipelined
+throughput as a separate field.
+
+Env overrides: BENCH_MODE=all|path|raster|whitted, BENCH_WIDTH/
+BENCH_HEIGHT/BENCH_SPP/BENCH_REPEATS/BENCH_FRAMES.
 """
 
 import json
@@ -16,29 +29,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_MPATHS = 2.65e6   # Cornell 1024^2@2048spp in ~13.5 min (README.md:613)
-BASELINE_RASTER_FPS = 58.6  # 17.06 ms median @ 1024^2, ~6K tris (README.md:612)
+BASELINE_MPATHS = 2.65e6    # README.md:613
+BASELINE_RASTER_FPS = 58.6  # README.md:612
 
 
-def bench_raster(width, height, repeats):
-    """Raster mode: the reference's benchmark scene (spot + crate +
-    spheres, ~6K tris, texture shaders, rotating per frame like the
-    README methodology). Requires the reference assets; falls back to
-    the path benchmark when absent."""
-    import sys
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def bench_raster(width, height, n_frames):
+    """Reference benchmark scene (spot + crate + spheres, ~6K tris,
+    texture shaders, per-frame rotation)."""
+    import functools
+    import statistics
     import time as _t
 
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
     from whitted_demo import build_scene, set_frame_matrices
 
     from software_rasterizer_tpu.ops.raster import render_raster_frame
-
-    import functools
-
-    import jax.numpy as jnp
 
     scene = build_scene()
     scene.set_ndc_matrix(width, height)
@@ -46,39 +58,48 @@ def bench_raster(width, height, repeats):
     active = tuple(sorted(set(int(t) for t in geom.shader_type)))
     geom = jax.tree_util.tree_map(jax.device_put, geom)
 
-    # pre-build the rotating per-frame matrix bundles (README.md:641
-    # methodology: rotation varies every frame) and render them as one
-    # device-side pipeline — frames stay in flight back-to-back, like the
-    # reference's in-process draw() loop (no per-frame dispatch stall)
-    n_frames = max(repeats * 5, 10)
-
-    def frames_bundle(degs):
-        bundles = []
-        for deg in degs:
-            set_frame_matrices(scene, deg)
-            bundles.append(scene.raster_frame())
-        return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *bundles)
-
     @functools.partial(jax.jit, static_argnames=())
-    def render_batch(stacked):
-        def one(fr):
-            img, z = render_raster_frame(geom, fr, height, width,
-                                         active_types=active)
-            return img
-        return jax.lax.map(one, stacked)
+    def render_one(fr):
+        img, _ = render_raster_frame(geom, fr, height, width, active_types=active)
+        return img
 
-    stacked = frames_bundle([10.0 * (r + 1) for r in range(n_frames)])
+    def frame_bundle(deg):
+        set_frame_matrices(scene, deg)
+        return jax.tree_util.tree_map(jax.device_put, scene.raster_frame())
+
     t0 = _t.time()
-    render_batch(stacked).block_until_ready()   # compile + warmup
+    render_one(frame_bundle(0.0)).block_until_ready()
     compile_s = _t.time() - t0
 
-    stacked = frames_bundle([10.0 * (r + 1) for r in range(n_frames, 2 * n_frames)])
+    # TRUE per-frame timing: each frame dispatched and blocked alone
+    # (reference methodology: individual draw() timings, README.md:615)
+    times = []
+    for i in range(n_frames):
+        fr = frame_bundle(10.0 * (i + 1))
+        t0 = _t.time()
+        render_one(fr).block_until_ready()
+        times.append(_t.time() - t0)
+    times.sort()
+    med = statistics.median(times)
+    p10 = times[max(0, int(0.10 * len(times)) - 1)] if len(times) >= 10 else times[0]
+    p90 = times[min(len(times) - 1, int(0.90 * len(times)))]
+
+    # pipelined throughput (frames in flight back-to-back), reported
+    # separately — NOT the headline number
+    bundles = [frame_bundle(10.0 * (i + 1)) for i in range(n_frames, 2 * n_frames)]
+    stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *bundles)
+
+    @jax.jit
+    def render_batch(st):
+        return jax.lax.map(lambda fr: render_one(fr), st)
+
+    render_batch(stacked).block_until_ready()  # compile
     t0 = _t.time()
     render_batch(stacked).block_until_ready()
-    total = _t.time() - t0
-    med = total / n_frames
+    pipe_fps = n_frames / (_t.time() - t0)
+
     fps = 1.0 / med
-    print(json.dumps({
+    _emit({
         "metric": "raster_frame_rate",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -86,21 +107,24 @@ def bench_raster(width, height, repeats):
         "config": f"{width}x{height} ~6K tris rotating",
         "device": str(jax.devices()[0]),
         "median_ms": round(med * 1e3, 3),
+        "p10_ms": round(p10 * 1e3, 3),
+        "p90_ms": round(p90 * 1e3, 3),
+        "min_ms": round(times[0] * 1e3, 3),
+        "max_ms": round(times[-1] * 1e3, 3),
+        "throughput_fps": round(pipe_fps, 2),
+        "n_frames": n_frames,
         "first_call_s": round(compile_s, 3),
-    }))
+    })
 
 
 def bench_whitted(width, height, repeats):
-    """Whitted mode: the reference main.cpp demo (glass + diffuse spheres,
-    textured spot + crate) — the reference publishes no numbers for this
-    pipeline (BASELINE.md), so vs_baseline reports Mrays/s per chip
-    against the reference PATH tracer's ~10 Mrays/s CPU estimate."""
-    import sys as _s
+    """The reference main.cpp demo (glass + diffuse spheres, textured
+    spot + crate)."""
     import time as _t
 
     import jax
 
-    _s.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
     from whitted_demo import build_scene, set_frame_matrices
 
     from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
@@ -129,10 +153,8 @@ def bench_whitted(width, height, repeats):
         frame(10.0 * (r + 1))
         times.append(_t.time() - t0)
     best = min(times)
-    # primary + shadow rays per pixel, plus specular continuations:
-    # conservatively count primary rays only (true ray count is higher)
-    mrays = width * height / best / 1e6
-    print(json.dumps({
+    mrays = width * height / best / 1e6  # primary rays only (conservative)
+    _emit({
         "metric": "whitted_primary_rays_throughput",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
@@ -141,60 +163,38 @@ def bench_whitted(width, height, repeats):
         "device": str(jax.devices()[0]),
         "render_s": round(best, 3),
         "first_call_s": round(compile_s, 3),
-    }))
+    })
 
 
-def main():
+def bench_path(width, height, spp, repeats):
     import jax
 
     from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
     from software_rasterizer_tpu.ops.path import path_render
     from software_rasterizer_tpu.scenes import build_cornell_scene
-
-    width = int(os.environ.get("BENCH_WIDTH", 1024))
-    height = int(os.environ.get("BENCH_HEIGHT", 1024))
-    spp = int(os.environ.get("BENCH_SPP", 16))
-    repeats = int(os.environ.get("BENCH_REPEATS", 2))
-
-    mode = os.environ.get("BENCH_MODE", "path")
-    if mode in ("raster", "whitted"):
-        try:
-            if mode == "raster":
-                return bench_raster(width, height, repeats)
-            return bench_whitted(width, height, repeats)
-        except Exception as e:  # assets missing etc. -> fall through
-            print(f"# {mode} bench unavailable ({e}); falling back to path",
-                  file=sys.stderr)
+    from software_rasterizer_tpu.utils.rng import make_key
 
     scene = build_cornell_scene()
     scene.set_ndc_matrix(width, height)
     rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
     rt = jax.tree_util.tree_map(jax.device_put, rt)
 
-    from software_rasterizer_tpu.utils.rng import make_key
-
     def render(seed):
-        img = path_render(
-            rt, width, height, scene.fovy, make_key(seed), spp=spp
-        )
+        img = path_render(rt, width, height, scene.fovy, make_key(seed), spp=spp)
         img.block_until_ready()
         return img
 
     t0 = time.time()
-    render(0)  # compile + first run
+    render(0)
     compile_s = time.time() - t0
-
     times = []
     for r in range(repeats):
         t0 = time.time()
         render(r + 1)  # fresh seed: no caching of the render itself
         times.append(time.time() - t0)
-
     best = min(times)
-    n_paths = width * height * spp
-    mpaths = n_paths / best / 1e6
-
-    print(json.dumps({
+    mpaths = width * height * spp / best / 1e6
+    _emit({
         "metric": "cornell_path_tracing_throughput",
         "value": round(mpaths, 3),
         "unit": "Mpaths/s",
@@ -203,7 +203,29 @@ def main():
         "device": str(jax.devices()[0]),
         "render_s": round(best, 3),
         "first_call_s": round(compile_s, 3),
-    }))
+    })
+
+
+def main():
+    width = int(os.environ.get("BENCH_WIDTH", 1024))
+    height = int(os.environ.get("BENCH_HEIGHT", 1024))
+    spp = int(os.environ.get("BENCH_SPP", 16))
+    repeats = int(os.environ.get("BENCH_REPEATS", 2))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 30))
+    mode = os.environ.get("BENCH_MODE", "all")
+
+    if mode in ("raster", "all"):
+        try:
+            bench_raster(width, height, n_frames)
+        except Exception as e:
+            print(f"# raster bench unavailable ({e})", file=sys.stderr)
+    if mode in ("whitted", "all"):
+        try:
+            bench_whitted(width, height, repeats)
+        except Exception as e:
+            print(f"# whitted bench unavailable ({e})", file=sys.stderr)
+    if mode in ("path", "all"):
+        bench_path(width, height, spp, repeats)
 
 
 if __name__ == "__main__":

@@ -4,6 +4,8 @@
 Usage: python examples/cornell_pt.py [--width 256] [--height 256]
        [--spp 16] [--out /tmp/cornell.png] [--cpu] [--ckpt PATH]
        [--batch N]   (renders progressively in N-sample batches)
+       [--config cfg.json]  (RenderConfig JSON; CLI flags override)
+       [--tiles N]   (render via N restartable tile jobs with retries)
 """
 
 import argparse
@@ -22,6 +24,9 @@ def main():
                     help="progressive batch size (0 = single shot)")
     ap.add_argument("--out", default="/tmp/cornell.png")
     ap.add_argument("--ckpt", default="", help="checkpoint path for resume")
+    ap.add_argument("--config", default="", help="RenderConfig JSON file")
+    ap.add_argument("--tiles", type=int, default=0,
+                    help="render as N restartable tile jobs (TileJobRunner)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -30,15 +35,54 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    from software_rasterizer_tpu.render import PathTracing, Primitive
+    from software_rasterizer_tpu.config import RenderConfig
+    from software_rasterizer_tpu.render import Primitive, pipeline_from_config
     from software_rasterizer_tpu.scenes import build_cornell_scene
 
-    render = PathTracing(args.width, args.height, spp=args.spp)
+    # config layer: file defaults, CLI overrides (SURVEY.md 5.6)
+    if args.config:
+        with open(args.config) as f:
+            cfg = RenderConfig.from_json(f.read())
+    else:
+        cfg = RenderConfig()
+    cfg.width, cfg.height, cfg.spp = args.width, args.height, args.spp
+    render = pipeline_from_config(cfg, "path")
     scene = build_cornell_scene()
     render.add_scene(scene)
 
     t0 = time.time()
-    if args.batch:
+    if args.tiles:
+        import numpy as np
+
+        from software_rasterizer_tpu.ops.camera import camera_rays
+        from software_rasterizer_tpu.ops.path import path_render_accumulate
+        from software_rasterizer_tpu.parallel.jobs import TileJobRunner
+        from software_rasterizer_tpu.utils.rng import make_key
+
+        import jax
+        import jax.numpy as jnp
+
+        rt = render._rt_scene(scene)
+        n = args.width * args.height
+        orig, d = camera_rays(rt.eye, scene.fovy, args.width, args.height)
+        key = make_key(cfg.seed)
+
+        def render_tile(start, count):
+            o = jax.lax.dynamic_slice(orig, (start, 0), (count, 3))
+            dd = jax.lax.dynamic_slice(d, (start, 0), (count, 3))
+            # per-tile key: decorrelates RNG streams across tiles
+            acc = path_render_accumulate(
+                rt, o, dd, jax.random.fold_in(key, start),
+                jnp.zeros((count, 3)), 0, args.spp,
+                p_rr=scene.rr, block=min(count, 1 << 16),
+            )
+            return np.asarray(acc) / args.spp
+
+        runner = TileJobRunner(n, n // args.tiles)
+        img = runner.run(render_tile,
+                         on_progress=lambda k, m: print(f"tile {k}/{m}"))
+        render.frame = img.reshape(args.height, args.width, 3)
+    elif args.batch:
         import os
 
         if args.ckpt and os.path.exists(args.ckpt):

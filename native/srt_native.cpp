@@ -166,11 +166,14 @@ int32_t srt_parse_obj_counts(const char *text, int64_t len, int32_t *out4) {
   return 0;
 }
 
-// Fill positions (np,3) f32, normals (nn,3), uvs (nt,2), and per-corner
-// index triples (nc,3) i32 of (v, vt, vn), -1 where absent. 1-based and
+// Fill positions (np,3) f64, normals (nn,3) f64, uvs (nt,2) f64, and
+// per-corner index triples (nc,3) i32 of (v, vt, vn), -1 where absent.
+// DOUBLES, not floats: the Python assembly normalizes vn rows and flips
+// uv.v in f64 before the final f32 cast, and must be bit-identical to
+// the pure-Python scan (and tinyobjloader's double parse). 1-based and
 // negative OBJ indices are resolved here. Returns 0 on success.
-int32_t srt_parse_obj(const char *text, int64_t len, float *pos, float *nrm,
-                      float *uv, int32_t *corners) {
+int32_t srt_parse_obj(const char *text, int64_t len, double *pos, double *nrm,
+                      double *uv, int32_t *corners) {
   int32_t np = 0, nn = 0, nt = 0, nc = 0;
   const char *p = text, *end = text + len;
   while (p < end) {
@@ -181,7 +184,7 @@ int32_t srt_parse_obj(const char *text, int64_t len, float *pos, float *nrm,
     if (line_end - q >= 2 && q[0] == 'v' && is_ws(q[1])) {
       char *e;
       for (int k = 0; k < 3; ++k) {
-        pos[3 * np + k] = strtof(q + 1, &e);
+        pos[3 * np + k] = strtod(q + 1, &e);
         q = e - 1;
         ++q;
       }
@@ -190,7 +193,7 @@ int32_t srt_parse_obj(const char *text, int64_t len, float *pos, float *nrm,
       char *e;
       q += 2;
       for (int k = 0; k < 3; ++k) {
-        nrm[3 * nn + k] = strtof(q, &e);
+        nrm[3 * nn + k] = strtod(q, &e);
         q = e;
       }
       ++nn;
@@ -198,7 +201,7 @@ int32_t srt_parse_obj(const char *text, int64_t len, float *pos, float *nrm,
       char *e;
       q += 2;
       for (int k = 0; k < 2; ++k) {
-        uv[2 * nt + k] = strtof(q, &e);
+        uv[2 * nt + k] = strtod(q, &e);
         q = e;
       }
       ++nt;

@@ -20,10 +20,32 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from software_rasterizer_tpu.ops.pallas_trace import mt_tri_coef, trace_nearest_mm
 from software_rasterizer_tpu.ops.raster import hom_transform
 from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
 
 BIG = jnp.float32(1e30)
+
+# Triangle-count ceiling for the MXU trace kernel (ops/pallas_trace):
+# above it the chunk-culled XLA sweep wins (the kernel streams EVERY
+# coefficient block past every ray block — no spatial culling).
+MM_TRACE_MAX_TRIS = 16384
+
+
+def _use_mm_trace(f_pad: int) -> bool:
+    import os
+
+    flag = os.environ.get("SRT_MM_TRACE", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    if f_pad > MM_TRACE_MAX_TRIS:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 class RTScene(NamedTuple):
@@ -65,6 +87,9 @@ class RTScene(NamedTuple):
                                  # per-lane emitter pick
     prim_attr: jnp.ndarray       # (P_pad, 40) per-primitive attribute rows
                                  # (tris then spheres; see _pack_prim_attr)
+    mt_coef: jnp.ndarray         # (4F, 13) bilinear Moller-Trumbore
+                                 # coefficients (ops/pallas_trace.mt_tri_coef)
+                                 # for the MXU trace kernel
     textures: jnp.ndarray
     tex_wh: jnp.ndarray
     background: jnp.ndarray      # (3,)
@@ -170,6 +195,7 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         n_emitters=jnp.sum(jnp.asarray(geom.obj_emissive).astype(jnp.int32)),
         emitter_cr=emitter_cr,
         prim_attr=prim_attr,
+        mt_coef=mt_tri_coef(tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid),
         textures=geom.textures, tex_wh=geom.tex_wh,
         background=frame.background, eye=frame.eye,
     )
@@ -404,9 +430,15 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
     (the one-hot plane stays cheap); large scenes fall back to gathers.
     """
     f_pad = scene.v0.shape[0]
-    tri_hit, ti = _intersect_tri_raw(
-        orig, d, scene.v0, scene.v1, scene.v2, scene.tri_valid, chunk
-    )
+    if _use_mm_trace(f_pad):
+        tri_hit, ti = trace_nearest_mm(
+            scene.mt_coef, orig, d, chunk=min(512, f_pad),
+            block=2048, interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        tri_hit, ti = _intersect_tri_raw(
+            orig, d, scene.v0, scene.v1, scene.v2, scene.tri_valid, chunk
+        )
     tidx = jnp.maximum(ti, 0)
     use_onehot = f_pad + scene.sph_c.shape[0] <= 1024
 

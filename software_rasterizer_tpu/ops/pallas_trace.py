@@ -1,0 +1,221 @@
+"""Fused MXU ray-triangle trace kernel (Pallas).
+
+The hot op of every integrator is the nearest-hit sweep: rays x all
+triangles, masked min over t (reference: BVHAcceleration::intersection +
+Triangle Moller-Trumbore, Triangle.cpp:104-145, driven by
+Scene::traceScene, Scene.cpp:349-396). Round-1 shipped it as an XLA
+broadcast-FMA chain (ops/intersect._mt_chunk): ~58 VPU ops per
+(ray, triangle). Profiling showed the bounce loop HBM/dispatch-bound,
+with the chip mostly idle.
+
+TPU-first reformulation: Moller-Trumbore is BILINEAR in (ray, triangle).
+With the scalar-triple identities
+
+    u*det = o.(d x e2) - d.(e2 x v0)
+    v*det = d.(o x e1) - d.(v0 x e1)
+    t*det = o.n - v0.n          (n = e1 x e2)
+    det   = -d.n
+
+every term is a product of a RAY feature and a TRIANGLE constant. So one
+matmul computes all four quantities for every (ray, triangle) pair:
+
+    phi(o, d) = [o_x d_y, o_x d_z, o_y d_x, o_y d_z, o_z d_x, o_z d_y,
+                 d_x, d_y, d_z, o_x, o_y, o_z, 1]          (13 features)
+    [u', v', t', det] = C_tri (4F x 13) @ phi^T (13 x N)   <- MXU
+
+The kernel streams triangle-chunk coefficient blocks through VMEM,
+runs the (4C x Nblk) matmul at HIGHEST precision (6-pass bf16 ~ f32),
+applies the reference's exact rejection thresholds (|det| >= 1e-6,
+0 <= u,v, u+v <= 1, t >= 1e-6) and folds a two-pass (min-t, lowest
+index among equals) reduce — all resident in VMEM. Only (best_t,
+best_index) per ray ever reaches HBM: the (rays x tris) intermediate
+planes that made the XLA path bandwidth-bound never materialize.
+
+The winner's exact f32 (u, v, t) are recomputed outside by
+ops/intersect._mt_uv, so integrator-visible values keep the same
+precision as the scalar oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = jnp.float32(1e30)
+N_FEATURES = 13
+
+
+def mt_ray_features(orig, d):
+    """phi(o, d): (N, 13) bilinear Moller-Trumbore ray features."""
+    ox, oy, oz = orig[:, 0], orig[:, 1], orig[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    return jnp.stack(
+        [
+            ox * dy, ox * dz, oy * dx, oy * dz, oz * dx, oz * dy,
+            dx, dy, dz,
+            ox, oy, oz,
+            jnp.ones_like(ox),
+        ],
+        axis=1,
+    )
+
+
+def mt_tri_coef(v0, v1, v2, valid):
+    """Per-triangle coefficient matrix (4F, 13): rows [u' | v' | t' | det]
+    blocks of F. Invalid (padding) triangles get all-zero rows, so their
+    det = 0 fails the |det| >= 1e-6 test with no separate mask input."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    f = v0.shape[0]
+    z = jnp.zeros((f,), v0.dtype)
+
+    e1x, e1y, e1z = e1[:, 0], e1[:, 1], e1[:, 2]
+    e2x, e2y, e2z = e2[:, 0], e2[:, 1], e2[:, 2]
+
+    # u' = o.(d x e2) - d.(e2 x v0)
+    d_coef_u = -jnp.cross(e2, v0)
+    rows_u = jnp.stack(
+        [e2z, -e2y, -e2z, e2x, e2y, -e2x,
+         d_coef_u[:, 0], d_coef_u[:, 1], d_coef_u[:, 2],
+         z, z, z, z],
+        axis=1,
+    )
+    # v' = d.(o x e1) - d.(v0 x e1)
+    d_coef_v = -jnp.cross(v0, e1)
+    rows_v = jnp.stack(
+        [-e1z, e1y, e1z, -e1x, -e1y, e1x,
+         d_coef_v[:, 0], d_coef_v[:, 1], d_coef_v[:, 2],
+         z, z, z, z],
+        axis=1,
+    )
+    # t' = o.n - v0.n
+    rows_t = jnp.stack(
+        [z, z, z, z, z, z, z, z, z,
+         n[:, 0], n[:, 1], n[:, 2],
+         -jnp.sum(v0 * n, axis=1)],
+        axis=1,
+    )
+    # det = -d.n
+    rows_d = jnp.stack(
+        [z, z, z, z, z, z,
+         -n[:, 0], -n[:, 1], -n[:, 2],
+         z, z, z, z],
+        axis=1,
+    )
+    coef = jnp.concatenate([rows_u, rows_v, rows_t, rows_d], axis=0)
+    vmask = jnp.tile(valid, 4)[:, None]
+    return jnp.where(vmask, coef, 0.0)
+
+
+def _trace_kernel(coef_ref, phi_ref, t_ref, f_ref, *, chunk: int):
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        t_ref[...] = jnp.full_like(t_ref, 1e30)
+        f_ref[...] = jnp.full_like(f_ref, -1)
+    best_t = t_ref[0]
+    best_f = f_ref[0]
+
+    prod = jax.lax.dot_general(
+        coef_ref[0], phi_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (4C, Nblk)
+    up = prod[0:chunk]
+    vp = prod[chunk:2 * chunk]
+    tp = prod[2 * chunk:3 * chunk]
+    det = prod[3 * chunk:4 * chunk]
+
+    absd = jnp.abs(det)
+    inv = 1.0 / jnp.where(absd < 1e-6, 1.0, det)
+    u = up * inv
+    v = vp * inv
+    t = tp * inv
+    ok = (
+        (absd >= 1e-6)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= 1e-6)
+    )
+    tm = jnp.where(ok, t, 1e30)
+    # two-pass exact resolve: min t, then lowest row among equal-t slots
+    ct = jnp.min(tm, axis=0, keepdims=True)                      # (1, Nblk)
+    rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+    ca = jnp.min(
+        jnp.where(tm == ct, rows, jnp.int32(0x7FFFFFFF)), axis=0, keepdims=True
+    ) + ci * chunk
+    better = ct < best_t
+    f_ref[0] = jnp.where(better, ca, best_f)
+    t_ref[0] = jnp.where(better, ct, best_t)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "block", "interpret"))
+def trace_nearest_mm(coef, orig, d, chunk: int = 512, block: int = 2048,
+                     interpret: bool = False):
+    """Nearest-triangle sweep on the MXU.
+
+    coef: (4F, 13) from `mt_tri_coef` (F a multiple of 8; zero rows for
+    padding). orig/d: (N, 3). Returns (hit (N,) bool, idx (N,) i32).
+
+    Grid: (ray blocks, triangle chunks); the output block for a ray
+    block stays VMEM-resident across the chunk axis (index map ignores
+    it), carrying the running (best_t, best_index).
+    """
+    f4 = coef.shape[0]
+    f = f4 // 4
+    chunk = min(chunk, f)
+    n = orig.shape[0]
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad != n:
+        orig = jnp.pad(orig, ((0, n_pad - n), (0, 0)))
+        d = jnp.pad(d, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    phi = mt_ray_features(orig, d).T                     # (13, N_pad)
+
+    if f % chunk:
+        pad = chunk - f % chunk
+        cf = coef.reshape(4, f, N_FEATURES)
+        cf = jnp.pad(cf, ((0, 0), (0, pad), (0, 0)))
+        coef = cf.reshape(4 * (f + pad), N_FEATURES)
+        f += pad
+    nc = f // chunk
+    # chunk-major coefficient layout: (nc, 4C, 13)
+    coef_c = (
+        coef.reshape(4, nc, chunk, N_FEATURES)
+        .transpose(1, 0, 2, 3)
+        .reshape(nc, 4 * chunk, N_FEATURES)
+    )
+
+    grid = (nb, nc)
+    t, fi = pl.pallas_call(
+        functools.partial(_trace_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4 * chunk, N_FEATURES), lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FEATURES, block), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
+        ],
+        interpret=interpret,
+    )(coef_c, phi)
+    t = t.reshape(-1)[:n]
+    fi = fi.reshape(-1)[:n]
+    hit = t < BIG
+    return hit, jnp.where(hit, fi, -1)

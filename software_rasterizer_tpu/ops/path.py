@@ -86,6 +86,24 @@ def _align_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def compact_perm(live, cap: int):
+    """Stable-partition permutation WITHOUT a sort: slot k of the output
+    is the k-th live lane (cumsum of liveness -> target slot, one
+    scatter). O(n) — an argsort here lowers to a bitonic sort network,
+    ~10x the cost at wavefront widths. Returns (perm (cap,) i32,
+    n_live () i32); slots >= n_live alias lane 0 and MUST be masked dead
+    by the caller."""
+    n = live.shape[0]
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    n_live = jnp.sum(live.astype(jnp.int32))
+    perm = jnp.zeros((cap,), jnp.int32)
+    tgt = jnp.where(live, pos, cap)  # dead lanes scatter out of range
+    perm = perm.at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
+    return perm, n_live
+
+
 def path_trace(
     scene: RTScene,
     orig,
@@ -181,10 +199,13 @@ def path_trace(
     for g in range(n_groups):
         cap = min(_align_up(int(n_lanes * compact_schedule[g]), 256), n_lanes)
         if cap < state["pixel"].shape[0]:
-            n_live = jnp.sum(state["live"].astype(jnp.int32))
+            perm, n_live = compact_perm(state["live"], cap)
             dropped = dropped + jnp.maximum(n_live - cap, 0)
-            order = jnp.argsort(~state["live"], stable=True)[:cap]
-            state = jax.tree_util.tree_map(lambda a: a[order], state)
+            state = jax.tree_util.tree_map(lambda a: a[perm], state)
+            # slots beyond n_live alias lane 0 — mask them dead
+            state["live"] = state["live"] & (
+                jnp.arange(cap, dtype=jnp.int32) < n_live
+            )
             compacted = True
 
         acc0 = jnp.zeros((state["pixel"].shape[0], 3))

@@ -109,15 +109,22 @@ def whitted_phong_direct(scene: RTScene, hit: Hit, ray_dir, spp: int, key,
 
 
 def _compact(children: dict, capacity: int):
-    """Keep the first `capacity` live child rays (stable order).
+    """Keep the first `capacity` live child rays (stable order) via the
+    O(n) cumsum/scatter partition (ops/path.compact_perm — an argsort
+    lowers to a bitonic sort network, ~10x the cost).
 
     Returns (compacted, dropped): `dropped` counts live rays beyond
     capacity — overflow accounting so a queue that silently sheds work is
     DETECTED, never assumed negligible (VERDICT r1 "no silent caps")."""
-    n_live = jnp.sum(children["live"].astype(jnp.int32))
+    from software_rasterizer_tpu.ops.path import compact_perm
+
+    perm, n_live = compact_perm(children["live"], capacity)
     dropped = jnp.maximum(n_live - capacity, 0)
-    order = jnp.argsort(~children["live"], stable=True)[:capacity]
-    return {k: v[order] for k, v in children.items()}, dropped
+    out = {k: v[perm] for k, v in children.items()}
+    out["live"] = out["live"] & (
+        jnp.arange(capacity, dtype=jnp.int32) < n_live
+    )
+    return out, dropped
 
 
 def _align_up(x: int, m: int) -> int:

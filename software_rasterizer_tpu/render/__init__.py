@@ -5,6 +5,7 @@ from software_rasterizer_tpu.render.pipeline import (  # noqa: F401
     Buffers,
     Primitive,
     RenderingPipeline,
+    pipeline_from_config,
 )
 from software_rasterizer_tpu.render.pathtracer import PathTracing  # noqa: F401
 from software_rasterizer_tpu.render.rasterizer import TraditionalRasterizer  # noqa: F401

@@ -63,3 +63,25 @@ class RenderingPipeline:
 
     def save(self, path: str):
         write_png(path, self.frame)
+
+
+def pipeline_from_config(cfg, kind: str = "path"):
+    """Construct a render pipeline from a RenderConfig (config.py) —
+    the config layer's production entry point (SURVEY.md 5.6; the
+    reference hardcodes all of this in main.cpp).
+
+    kind: "raster" | "whitted" | "path".
+    """
+    from software_rasterizer_tpu.render.pathtracer import PathTracing
+    from software_rasterizer_tpu.render.rasterizer import TraditionalRasterizer
+    from software_rasterizer_tpu.render.raytracer import RayTracing
+
+    if kind == "raster":
+        return TraditionalRasterizer(cfg.width, cfg.height, tile=cfg.raster_tile)
+    if kind == "whitted":
+        return RayTracing(cfg.width, cfg.height, spp=cfg.spp,
+                          max_depth=cfg.max_depth, seed=cfg.seed)
+    if kind == "path":
+        return PathTracing(cfg.width, cfg.height, spp=cfg.spp,
+                           max_bounces=cfg.max_bounces, seed=cfg.seed)
+    raise ValueError(f"unknown pipeline kind {kind!r}")

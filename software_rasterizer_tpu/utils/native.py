@@ -64,8 +64,9 @@ def load() -> Optional[ctypes.CDLL]:
     lib.srt_build_bvh.argtypes = [ctypes.c_int32] + [f32p] * 3 + [f32p] * 2 + [i32p] * 3 + [f32p]
     lib.srt_parse_obj_counts.restype = ctypes.c_int32
     lib.srt_parse_obj_counts.argtypes = [ctypes.c_char_p, ctypes.c_int64, i32p]
+    f64p = ctypes.POINTER(ctypes.c_double)
     lib.srt_parse_obj.restype = ctypes.c_int32
-    lib.srt_parse_obj.argtypes = [ctypes.c_char_p, ctypes.c_int64, f32p, f32p, f32p, i32p]
+    lib.srt_parse_obj.argtypes = [ctypes.c_char_p, ctypes.c_int64, f64p, f64p, f64p, i32p]
     _LIB = lib
     return _LIB
 
@@ -109,9 +110,15 @@ def build_bvh_native(bb_min: np.ndarray, bb_max: np.ndarray, areas: np.ndarray):
     return node_min, node_max, left, right, prim, area
 
 
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
 def parse_obj_native(text: str):
-    """Native OBJ scan: returns (positions (P,3), normals (N,3), uvs (T,2),
-    corners (C,3) of (v, vt, vn) with -1 absent), or None."""
+    """Native OBJ scan: returns (positions (P,3) f64, normals (N,3) f64,
+    uvs (T,2) f64, corners (C,3) i32 of (v, vt, vn) with -1 absent), or
+    None. f64 so downstream normalization/V-flip matches the pure-Python
+    scan bit-for-bit before the final f32 cast."""
     lib = load()
     if lib is None:
         return None
@@ -119,11 +126,11 @@ def parse_obj_native(text: str):
     counts = np.zeros(4, np.int32)
     lib.srt_parse_obj_counts(raw, len(raw), _ip(counts))
     np_, nn, nt, nc = (int(x) for x in counts)
-    pos = np.empty((np_, 3), np.float32)
-    nrm = np.empty((nn, 3), np.float32)
-    uv = np.empty((nt, 2), np.float32)
+    pos = np.empty((np_, 3), np.float64)
+    nrm = np.empty((nn, 3), np.float64)
+    uv = np.empty((nt, 2), np.float64)
     corners = np.empty((nc, 3), np.int32)
-    rc = lib.srt_parse_obj(raw, len(raw), _fp(pos), _fp(nrm), _fp(uv), _ip(corners))
+    rc = lib.srt_parse_obj(raw, len(raw), _dp(pos), _dp(nrm), _dp(uv), _ip(corners))
     if rc != 0:
         return None
     return pos, nrm, uv, corners
