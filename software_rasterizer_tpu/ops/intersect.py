@@ -20,32 +20,49 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from software_rasterizer_tpu.ops.pallas_trace import mt_tri_coef, trace_nearest_mm
+from software_rasterizer_tpu.ops.pallas_trace import (
+    mt_tri_coef,
+    mt_tri_table,
+    trace_nearest_mm,
+    trace_nearest_vpu,
+)
 from software_rasterizer_tpu.ops.raster import hom_transform
 from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
 
 BIG = jnp.float32(1e30)
 
-# Triangle-count ceiling for the MXU trace kernel (ops/pallas_trace):
-# above it the chunk-culled XLA sweep wins (the kernel streams EVERY
-# coefficient block past every ray block — no spatial culling).
+# Trace-backend tiers by triangle count (measured on v5e, PERFORMANCE.md):
+#   <= VPU_TRACE_MAX_TRIS: fused VPU kernel — scalar-broadcast triangle
+#       loop, exact f32, zero MXU-pass overhead; wins for small scenes
+#       (its loop runs exactly n_tri iterations, no pad waste).
+#   <= MM_TRACE_MAX_TRIS: MXU bilinear-matmul kernel (HIGHEST precision
+#       — Mosaic rejects the 3-pass bf16 HIGH mode on this toolchain) —
+#       wins when the per-triangle VPU op count exceeds the K=13 matmul
+#       pass cost.
+#   above: chunk-culled XLA sweep (the kernels stream every triangle
+#       past every ray — no spatial culling; the BVH-ordered chunk path
+#       skips whole (ray-block x chunk) tiles).
+VPU_TRACE_MAX_TRIS = 1024
 MM_TRACE_MAX_TRIS = 16384
 
 
-def _use_mm_trace(f_pad: int) -> bool:
+def _trace_backend(f_pad: int) -> str:
     import os
 
     flag = os.environ.get("SRT_MM_TRACE", "auto")
     if flag == "0":
-        return False
-    if flag == "1":
-        return True
-    if f_pad > MM_TRACE_MAX_TRIS:
-        return False
+        return "xla"
     try:
-        return jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:
-        return False
+        on_tpu = False
+    if flag == "vpu":
+        return "vpu"
+    if flag == "1":
+        return "mm"
+    if not on_tpu or f_pad > MM_TRACE_MAX_TRIS:
+        return "xla"
+    return "vpu" if f_pad <= VPU_TRACE_MAX_TRIS else "mm"
 
 
 class RTScene(NamedTuple):
@@ -90,6 +107,9 @@ class RTScene(NamedTuple):
     mt_coef: jnp.ndarray         # (4F, 13) bilinear Moller-Trumbore
                                  # coefficients (ops/pallas_trace.mt_tri_coef)
                                  # for the MXU trace kernel
+    tri_table: jnp.ndarray       # (F, 12) [v0|e1|e2|pad] rows for the
+                                 # fused VPU trace kernel
+    n_tri: jnp.ndarray           # () i32 1 + last valid triangle index
     textures: jnp.ndarray
     tex_wh: jnp.ndarray
     background: jnp.ndarray      # (3,)
@@ -134,6 +154,7 @@ def prepare_rt_scene(geom, frame) -> RTScene:
 
     centers, radii = jax.vmap(obj_bounds)(obj_ids)
 
+    _tt, _nt = mt_tri_table(tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid)
     mt = geom.materials
     emitter_order = jnp.argsort(
         ~jnp.asarray(geom.obj_emissive), stable=True
@@ -196,6 +217,7 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         emitter_cr=emitter_cr,
         prim_attr=prim_attr,
         mt_coef=mt_tri_coef(tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid),
+        tri_table=_tt, n_tri=_nt,
         textures=geom.textures, tex_wh=geom.tex_wh,
         background=frame.background, eye=frame.eye,
     )
@@ -430,10 +452,17 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
     (the one-hot plane stays cheap); large scenes fall back to gathers.
     """
     f_pad = scene.v0.shape[0]
-    if _use_mm_trace(f_pad):
+    backend = _trace_backend(f_pad)
+    interp = jax.default_backend() != "tpu"
+    if backend == "vpu":
+        tri_hit, ti = trace_nearest_vpu(
+            scene.tri_table, scene.n_tri, orig, d, block=2048,
+            interpret=interp,
+        )
+    elif backend == "mm":
         tri_hit, ti = trace_nearest_mm(
             scene.mt_coef, orig, d, chunk=min(512, f_pad),
-            block=2048, interpret=jax.default_backend() != "tpu",
+            block=2048, interpret=interp,
         )
     else:
         tri_hit, ti = _intersect_tri_raw(
@@ -444,9 +473,9 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
 
     if use_onehot:
         v012 = _onehot_rows(tidx, scene.prim_attr[:f_pad, 0:9])
-        v0w, v1w, v2w = v012[:, 0:3], v012[:, 3:6], v012[:, 6:9]
     else:
-        v0w, v1w, v2w = scene.v0[tidx], scene.v1[tidx], scene.v2[tidx]
+        v012 = scene.prim_attr[:f_pad, 0:9][tidx]   # one row-gather
+    v0w, v1w, v2w = v012[:, 0:3], v012[:, 3:6], v012[:, 6:9]
     tu, tv, t_tri = _mt_uv(orig, d, v0w, v1w, v2w)
     tt = jnp.where(tri_hit, t_tri, BIG)
 
@@ -459,32 +488,24 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
     sidx = jnp.maximum(si, 0)
     coords = orig + d * t[:, None]
 
+    prim = jnp.where(use_s, f_pad + sidx, tidx)
     if use_onehot:
-        prim = jnp.where(use_s, f_pad + sidx, tidx)
         a = _onehot_rows(prim, scene.prim_attr)
-        n0, n1, n2 = a[:, 9:12], a[:, 12:15], a[:, 15:18]
-        uv0, uv1, uv2 = a[:, 18:20], a[:, 20:22], a[:, 22:24]
-        kd = a[:, 24:27]
-        emit = a[:, 27:30]
-        mat_type = jnp.round(a[:, 30]).astype(jnp.int32)
-        ior = a[:, 31]
-        mat = jnp.round(a[:, 32]).astype(jnp.int32)
-        tex = jnp.round(a[:, 33]).astype(jnp.int32)
-        obj = jnp.round(a[:, 34]).astype(jnp.int32)
-        sph_center = a[:, 0:3]     # sphere rows carry the center in 0:3
     else:
-        n0, n1, n2 = scene.n0[tidx], scene.n1[tidx], scene.n2[tidx]
-        uv0, uv1, uv2 = scene.uv0[tidx], scene.uv1[tidx], scene.uv2[tidx]
-        tmat = scene.tri_mat[tidx]
-        smat = scene.sph_mat[sidx]
-        mat = jnp.where(use_s, smat, tmat)
-        kd = scene.mat_kd[mat]
-        emit = scene.mat_emit[mat]
-        mat_type = scene.mat_type[mat]
-        ior = scene.mat_ior[mat]
-        tex = jnp.where(use_s, -1, scene.tri_tex[tidx])
-        obj = jnp.where(use_s, scene.sph_obj[sidx], scene.tri_obj[tidx])
-        sph_center = scene.sph_c[sidx]
+        # ONE contiguous row-gather from the packed table — ~10x cheaper
+        # than the dozen per-column gathers it replaces at >1024 prims
+        # (the whitted demo scene pays this epilogue at 1M-lane widths)
+        a = scene.prim_attr[prim]
+    n0, n1, n2 = a[:, 9:12], a[:, 12:15], a[:, 15:18]
+    uv0, uv1, uv2 = a[:, 18:20], a[:, 20:22], a[:, 22:24]
+    kd = a[:, 24:27]
+    emit = a[:, 27:30]
+    mat_type = jnp.round(a[:, 30]).astype(jnp.int32)
+    ior = a[:, 31]
+    mat = jnp.round(a[:, 32]).astype(jnp.int32)
+    tex = jnp.round(a[:, 33]).astype(jnp.int32)
+    obj = jnp.round(a[:, 34]).astype(jnp.int32)
+    sph_center = a[:, 0:3]         # sphere rows carry the center in 0:3
 
     # triangle surface properties (Triangle.cpp:160-177)
     w = 1.0 - tu - tv

@@ -1,0 +1,534 @@
+"""Fused path-tracing bounce kernel (Pallas).
+
+Profiling the XLA wavefront (PERFORMANCE.md r2) split the 1024^2@16spp
+Cornell render ~1.2 s traces + ~1.4 s of per-bounce elementwise fusions:
+tens of small HBM-bound ops per bounce (RNG, NEE evaluation, state
+updates), each paying dispatch + memory-latency overhead at wavefront
+width. This kernel fuses ONE WHOLE BOUNCE GROUP — light sampling,
+Russian roulette, hemisphere BRDF sampling, BOTH traces (NEE shadow +
+next bounce, one shared triangle loop), NEE evaluation, and the state
+update — into a single VMEM-resident program. State leaves HBM only at
+compaction (group) boundaries.
+
+Semantics are the reference's, lane for lane (Scene.cpp citations in
+ops/path.py):
+  * sampleLight bounding-sphere direction scheme (Scene.cpp:429-476),
+  * RR-before-sample with survival p_rr (:797-798),
+  * uniform-hemisphere BRDF via toWorld (Material.cpp:14-34,
+    Tools.cpp:315-327),
+  * emissive shading point short-circuits to its color (:676-680),
+  * indirect discards emitter hits (:813-815),
+  * the |t^2 - d^2| <= 1e-4 shadow acceptance and 1e-6*N offsets.
+
+RNG: the TPU-native PRNG (pltpu.prng_*), seeded per (seed, program,
+group) — a different stream than the XLA path's counter-based
+jax.random, so agreement with the scalar oracle is statistical (the
+estimator is identical; only the sample points differ).
+
+Applicability (dispatched by ops/path.py): triangles + spheres with
+UNTEXTURED materials (hit color == Kd; Cornell and the demo scenes
+qualify), F <= 512, O <= 8 emitters. Anything else falls back to the
+XLA wavefront.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INV_2PI = 0.15915494309189535
+INV_PI = 0.3183098861837907
+TWO_PI = 6.283185307179586
+EPS = 1e-5
+
+
+class _Rng:
+    """Counter-based per-lane hash RNG (lowbias32 finalizer) — backend
+    independent (no pltpu.prng dependence, so CPU interpret mode works),
+    deterministic in (seed, absolute lane id, draw counter). Quality is
+    ample for MC integration (verified statistically vs the scalar
+    oracle in tests/test_path.py)."""
+
+    def __init__(self, seed, lane):
+        self.seed = seed.astype(jnp.uint32)
+        self.lane = lane.astype(jnp.uint32)
+        self.ctr = 0
+
+    def uniform(self):
+        self.ctr += 1
+        x = self.lane * jnp.uint32(0x9E3779B1)
+        x = x ^ (self.seed + jnp.uint32((self.ctr * 0x85EBCA6B) & 0xFFFFFFFF))
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        # Mosaic lacks a u32->f32 cast; the 24-bit value fits i32
+        return (x >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 24)
+        )
+
+    def gauss3(self):
+        """Three standard normals per lane (Box-Muller), for
+        glm::sphericalRand-style unit-sphere sampling."""
+        u1 = self.uniform()
+        u2 = self.uniform()
+        u3 = self.uniform()
+        u4 = self.uniform()
+        r1 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+        r2 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u3, 1e-12)))
+        return (
+            r1 * jnp.cos(TWO_PI * u2),
+            r1 * jnp.sin(TWO_PI * u2),
+            r2 * jnp.cos(TWO_PI * u4),
+        )
+
+
+def _norm3(x, y, z, eps=0.0):
+    n = jnp.sqrt(x * x + y * y + z * z)
+    ok = n > eps
+    inv = jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1.0), 0.0)
+    inv = jnp.where(ok, inv, 0.0)
+    return x * inv, y * inv, z * inv
+
+
+def _to_world(lx, ly, lz, nx, ny, nz):
+    """Tools::toWorld (Tools.cpp:315-327), component form."""
+    use_x = jnp.abs(nx) > jnp.abs(ny)
+    inv_a = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + nz * nz, 1e-30))
+    inv_b = 1.0 / jnp.sqrt(jnp.maximum(ny * ny + nz * nz, 1e-30))
+    cx = jnp.where(use_x, nz * inv_a, 0.0)
+    cy = jnp.where(use_x, 0.0, nz * inv_b)
+    cz = jnp.where(use_x, -nx * inv_a, -ny * inv_b)
+    # b = c x n
+    bx = cy * nz - cz * ny
+    by = cz * nx - cx * nz
+    bz = cx * ny - cy * nx
+    return (
+        lx * bx + ly * cx + lz * nx,
+        lx * by + ly * cy + lz * ny,
+        lx * bz + ly * cz + lz * nz,
+    )
+
+
+def _dual_trace(scal_ref, tri_ref, attr_ref, sph_ref, ox, oy, oz,
+                lax_, lay, laz, bx_, by_, bz_):
+    """Nearest hit for TWO ray sets sharing origins (o): directions
+    A = NEE shadow (needs emit + normal), B = next bounce (needs
+    normal, kd, emit). One loop over triangles then spheres; triangle
+    constants broadcast from SMEM. Returns dicts of planes."""
+    n_tri = scal_ref[0]
+    n_sph = scal_ref[3]
+    big = jnp.full(ox.shape, 1e30, jnp.float32)
+    zero = jnp.zeros(ox.shape, jnp.float32)
+
+    def tri_body(f, c):
+        (tA, exA, eyA, ezA, nxA, nyA, nzA,
+         tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB) = c
+        v0x = tri_ref[f, 0]
+        v0y = tri_ref[f, 1]
+        v0z = tri_ref[f, 2]
+        e1x = tri_ref[f, 3]
+        e1y = tri_ref[f, 4]
+        e1z = tri_ref[f, 5]
+        e2x = tri_ref[f, 6]
+        e2y = tri_ref[f, 7]
+        e2z = tri_ref[f, 8]
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        # q = tvec x e1 is shared by both ray sets
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+
+        def mt(dx, dy, dz):
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
+            u = (tx * px + ty * py + tz * pz) * inv
+            v = (dx * qx + dy * qy + dz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            ok = (
+                (jnp.abs(det) >= 1e-6)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= 1e-6)
+            )
+            return jnp.where(ok, t, 1e30), u, v
+
+        n0x = attr_ref[f, 0]
+        n0y = attr_ref[f, 1]
+        n0z = attr_ref[f, 2]
+        n1x = attr_ref[f, 3]
+        n1y = attr_ref[f, 4]
+        n1z = attr_ref[f, 5]
+        n2x = attr_ref[f, 6]
+        n2y = attr_ref[f, 7]
+        n2z = attr_ref[f, 8]
+
+        tmA, uA, vA = mt(lax_, lay, laz)
+        betA = tmA < tA
+        wA = 1.0 - uA - vA
+        tA = jnp.where(betA, tmA, tA)
+        nxA = jnp.where(betA, wA * n0x + uA * n1x + vA * n2x, nxA)
+        nyA = jnp.where(betA, wA * n0y + uA * n1y + vA * n2y, nyA)
+        nzA = jnp.where(betA, wA * n0z + uA * n1z + vA * n2z, nzA)
+        exA = jnp.where(betA, attr_ref[f, 12], exA)
+        eyA = jnp.where(betA, attr_ref[f, 13], eyA)
+        ezA = jnp.where(betA, attr_ref[f, 14], ezA)
+
+        tmB, uB, vB = mt(bx_, by_, bz_)
+        betB = tmB < tB
+        wB = 1.0 - uB - vB
+        tB = jnp.where(betB, tmB, tB)
+        nxB = jnp.where(betB, wB * n0x + uB * n1x + vB * n2x, nxB)
+        nyB = jnp.where(betB, wB * n0y + uB * n1y + vB * n2y, nyB)
+        nzB = jnp.where(betB, wB * n0z + uB * n1z + vB * n2z, nzB)
+        kxB = jnp.where(betB, attr_ref[f, 9], kxB)
+        kyB = jnp.where(betB, attr_ref[f, 10], kyB)
+        kzB = jnp.where(betB, attr_ref[f, 11], kzB)
+        exB = jnp.where(betB, attr_ref[f, 12], exB)
+        eyB = jnp.where(betB, attr_ref[f, 13], eyB)
+        ezB = jnp.where(betB, attr_ref[f, 14], ezB)
+        return (tA, exA, eyA, ezA, nxA, nyA, nzA,
+                tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB)
+
+    init = (big, zero, zero, zero, zero, zero, zero,
+            big, zero, zero, zero, zero, zero, zero, zero, zero, zero)
+    out = jax.lax.fori_loop(0, n_tri, tri_body, init)
+
+    def sph_body(s, c):
+        (tA, exA, eyA, ezA, nxA, nyA, nzA,
+         tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB) = c
+        cx = sph_ref[s, 0]
+        cy = sph_ref[s, 1]
+        cz = sph_ref[s, 2]
+        rr = sph_ref[s, 3]
+        lx = ox - cx
+        ly = oy - cy
+        lz = oz - cz
+        c0 = lx * lx + ly * ly + lz * lz - rr * rr
+
+        vs_ok = sph_ref[s, 7] > 0.0   # validity flag column
+
+        def hit_sph(dx, dy, dz):
+            a = dx * dx + dy * dy + dz * dz
+            b = 2.0 * (dx * lx + dy * ly + dz * lz)
+            disc = b * b - 4.0 * a * c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            q = -0.5 * (b + jnp.where(b >= 0, sq, -sq))
+            q = jnp.where(q == 0.0, 1e-30, q)
+            x0 = q / a
+            x1 = c0 / q
+            both = (x0 > 0.0) & (x1 > 0.0)
+            t = jnp.where(both, jnp.minimum(x0, x1),
+                          jnp.where(x0 > 0.0, x0, x1))
+            ok = (disc >= 0.0) & (t > 0.0) & vs_ok
+            return jnp.where(ok, t, 1e30)
+
+        inv_r = 1.0 / jnp.maximum(rr, 1e-20)
+        tsA = hit_sph(lax_, lay, laz)
+        bA = tsA < tA
+        tA = jnp.where(bA, tsA, tA)
+        nxA = jnp.where(bA, (ox + lax_ * tsA - cx) * inv_r, nxA)
+        nyA = jnp.where(bA, (oy + lay * tsA - cy) * inv_r, nyA)
+        nzA = jnp.where(bA, (oz + laz * tsA - cz) * inv_r, nzA)
+        exA = jnp.where(bA, sph_ref[s, 4], exA)
+        eyA = jnp.where(bA, sph_ref[s, 5], eyA)
+        ezA = jnp.where(bA, sph_ref[s, 6], ezA)
+
+        tsB = hit_sph(bx_, by_, bz_)
+        bB = tsB < tB
+        tB = jnp.where(bB, tsB, tB)
+        nxB = jnp.where(bB, (ox + bx_ * tsB - cx) * inv_r, nxB)
+        nyB = jnp.where(bB, (oy + by_ * tsB - cy) * inv_r, nyB)
+        nzB = jnp.where(bB, (oz + bz_ * tsB - cz) * inv_r, nzB)
+        # sphere winner: kd from its material; the reference's
+        # Properties.color quirk (color = 0) is applied by the caller
+        # via the is-sphere flag... the path integrator's `col` is only
+        # consumed at EMISSIVE hits; emissive spheres shade as their
+        # diffuse color in the reference (SphereLight Kd) — matching
+        # nearest_hit's kd join.
+        kxB = jnp.where(bB, sph_ref[s, 8], kxB)
+        kyB = jnp.where(bB, sph_ref[s, 9], kyB)
+        kzB = jnp.where(bB, sph_ref[s, 10], kzB)
+        exB = jnp.where(bB, sph_ref[s, 4], exB)
+        eyB = jnp.where(bB, sph_ref[s, 5], eyB)
+        ezB = jnp.where(bB, sph_ref[s, 6], ezB)
+        return (tA, exA, eyA, ezA, nxA, nyA, nzA,
+                tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB)
+
+    out = jax.lax.fori_loop(0, n_sph, sph_body, out)
+    (tA, exA, eyA, ezA, nxA, nyA, nzA,
+     tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB) = out
+    return (
+        {"t": tA, "emit": (exA, eyA, ezA), "nrm": (nxA, nyA, nzA)},
+        {"t": tB, "nrm": (nxB, nyB, nzB), "kd": (kxB, kyB, kzB),
+         "emit": (exB, eyB, ezB)},
+    )
+
+
+def _bounce_kernel(scal_ref, ecr_ref, tri_ref, attr_ref, sph_ref,
+                   state_ref, live_ref, out_state_ref, out_live_ref,
+                   acc_ref, *, n_bounces: int, p_rr: float, o_pad: int):
+    pid = pl.program_id(0)
+
+    def V(i):
+        return state_ref[i]
+
+    px, py, pz = V(0), V(1), V(2)
+    nx, ny, nz = V(3), V(4), V(5)
+    kx, ky, kz = V(6), V(7), V(8)
+    ex, ey, ez = V(9), V(10), V(11)
+    cx_, cy_, cz_ = V(12), V(13), V(14)
+    tx_, ty_, tz_ = V(15), V(16), V(17)
+    live = live_ref[...] != 0
+    shape = px.shape
+    rows, _ = shape
+    lane = (
+        pl.program_id(0) * (rows * 128)
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    )
+    rng = _Rng(scal_ref[2].astype(jnp.uint32), lane)
+    acc_r = jnp.zeros(shape, jnp.float32)
+    acc_g = jnp.zeros(shape, jnp.float32)
+    acc_b = jnp.zeros(shape, jnp.float32)
+
+    n_e = scal_ref[1]
+    any_e = n_e > 0
+    n_e_f = jnp.maximum(n_e, 1).astype(jnp.float32)
+
+    for _ in range(n_bounces):
+        nnx, nny, nnz = _norm3(nx, ny, nz)
+
+        # ---- sampleLight (Scene.cpp:429-476)
+        u_pick = rng.uniform()
+        k_e = jnp.minimum(
+            jnp.floor(u_pick * n_e_f).astype(jnp.int32),
+            jnp.maximum(n_e - 1, 0),
+        )
+        ccx = jnp.zeros(shape, jnp.float32)
+        ccy = jnp.zeros(shape, jnp.float32)
+        ccz = jnp.zeros(shape, jnp.float32)
+        crad = jnp.zeros(shape, jnp.float32)
+        for o in range(o_pad):
+            sel = k_e == o
+            ccx = jnp.where(sel, ecr_ref[o, 0], ccx)
+            ccy = jnp.where(sel, ecr_ref[o, 1], ccy)
+            ccz = jnp.where(sel, ecr_ref[o, 2], ccz)
+            crad = jnp.where(sel, ecr_ref[o, 3], crad)
+        blx, bly, blz = _norm3(ccx - px, ccy - py, ccz - pz)
+        g1, g2, g3 = rng.gauss3()
+        sx, sy, sz = _norm3(g1, g2, g3, 1e-20)
+        flip = sx * blx + sy * bly + sz * blz < 0
+        sx = jnp.where(flip, -sx, sx)
+        sy = jnp.where(flip, -sy, sy)
+        sz = jnp.where(flip, -sz, sz)
+        h1, h2, h3 = rng.gauss3()
+        hx, hy, hz = _norm3(h1, h2, h3, 1e-20)
+        sx, sy, sz = _norm3(sx + 1e-6 * hx, sy + 1e-6 * hy, sz + 1e-6 * hz)
+        spx = ccx + sx * crad
+        spy = ccy + sy * crad
+        spz = ccz + sz * crad
+        llx, lly, llz = _norm3(spx - px, spy - py, spz - pz)
+        cos_t = llx * blx + lly * bly + llz * blz
+        pdf_l = jnp.where(any_e, cos_t * INV_2PI, 0.0)
+
+        # ---- RR + uniform hemisphere (Material.cpp:14-34)
+        u_rr = rng.uniform()
+        survive = u_rr <= p_rr
+        x1 = rng.uniform()
+        x2 = rng.uniform()
+        zl = jnp.abs(1.0 - 2.0 * x1)
+        rl = jnp.sqrt(jnp.maximum(0.0, 1.0 - zl * zl))
+        phi = TWO_PI * x2
+        wx, wy, wz = _to_world(
+            rl * jnp.cos(phi), rl * jnp.sin(phi), zl, nnx, nny, nnz
+        )
+        wx, wy, wz = _norm3(wx, wy, wz)
+        wdn = wx * nnx + wy * nny + wz * nnz
+        cos_o = jnp.maximum(0.0, wdn)
+        pdf_b = jnp.where(wdn > 0, INV_2PI, 0.0)
+        frx = jnp.where(wdn > 0, kx * INV_PI, 0.0)
+        fry = jnp.where(wdn > 0, ky * INV_PI, 0.0)
+        frz = jnp.where(wdn > 0, kz * INV_PI, 0.0)
+
+        # ---- both traces, one primitive loop
+        ox = px + 1e-6 * nnx
+        oy = py + 1e-6 * nny
+        oz = pz + 1e-6 * nnz
+        sh, nxt = _dual_trace(
+            scal_ref, tri_ref, attr_ref, sph_ref,
+            ox, oy, oz, llx, lly, llz, wx, wy, wz,
+        )
+
+        # ---- NEE evaluation (_nee_eval / Scene.cpp:671-717)
+        tA = sh["t"]
+        hitA = tA < 1e30
+        scx = ox + llx * tA
+        scy = oy + lly * tA
+        scz = oz + llz * tA
+        dist2 = (px - scx) ** 2 + (py - scy) ** 2 + (pz - scz) ** 2
+        not_shadow = jnp.abs(tA * tA - dist2) <= 1e-4
+        seA = sh["emit"]
+        lit = hitA & (
+            jnp.sqrt(seA[0] ** 2 + seA[1] ** 2 + seA[2] ** 2) > EPS
+        ) & any_e
+        snA = sh["nrm"]
+        # shadow normal: nearest_hit normalizes interpolated normals
+        snx, sny, snz = _norm3(snA[0], snA[1], snA[2], 1e-20)
+        cos_on = jnp.maximum(0.0, nnx * llx + nny * lly + nnz * llz)
+        cos_ln = jnp.maximum(0.0, -(snx * llx + sny * lly + snz * llz))
+        ldn = llx * nnx + lly * nny + llz * nnz
+        pdf_ok_l = (pdf_l >= EPS) & (pdf_l < 1e30) & (pdf_l == pdf_l)
+        denom = jnp.where(pdf_ok_l, pdf_l, 1.0) * jnp.maximum(dist2, 1e-30)
+        scale = jnp.where(
+            lit & not_shadow & pdf_ok_l, cos_on * cos_ln / denom, 0.0
+        )
+        fr_gate = ldn > 0
+        neex = seA[0] * jnp.where(fr_gate, kx * INV_PI, 0.0) * scale
+        neey = seA[1] * jnp.where(fr_gate, ky * INV_PI, 0.0) * scale
+        neez = seA[2] * jnp.where(fr_gate, kz * INV_PI, 0.0) * scale
+        cur_emissive = jnp.sqrt(ex * ex + ey * ey + ez * ez) > EPS
+        dirx = jnp.where(cur_emissive, cx_, neex)
+        diry = jnp.where(cur_emissive, cy_, neey)
+        dirz = jnp.where(cur_emissive, cz_, neez)
+        acc_r = acc_r + jnp.where(live, tx_ * dirx, 0.0)
+        acc_g = acc_g + jnp.where(live, ty_ * diry, 0.0)
+        acc_b = acc_b + jnp.where(live, tz_ * dirz, 0.0)
+
+        # ---- state update
+        tB = nxt["t"]
+        hitB = tB < 1e30
+        neB = nxt["emit"]
+        emisB = jnp.sqrt(neB[0] ** 2 + neB[1] ** 2 + neB[2] ** 2) > EPS
+        pdf_ok = pdf_b >= EPS
+        live = live & survive & pdf_ok & hitB & ~emisB
+        wgt = cos_o / jnp.maximum(pdf_b * p_rr, 1e-30)
+        tx_ = tx_ * frx * wgt
+        ty_ = ty_ * fry * wgt
+        tz_ = tz_ * frz * wgt
+        px = ox + wx * tB
+        py = oy + wy * tB
+        pz = oz + wz * tB
+        nB = nxt["nrm"]
+        nx, ny, nz = _norm3(nB[0], nB[1], nB[2], 1e-20)
+        kB = nxt["kd"]
+        kx, ky, kz = kB[0], kB[1], kB[2]
+        ex, ey, ez = neB[0], neB[1], neB[2]
+        cx_, cy_, cz_ = kB[0], kB[1], kB[2]   # untextured: color == Kd
+
+    for i, v in enumerate([px, py, pz, nx, ny, nz, kx, ky, kz,
+                           ex, ey, ez, cx_, cy_, cz_, tx_, ty_, tz_]):
+        out_state_ref[i] = v
+    out_live_ref[...] = live.astype(jnp.int32)
+    acc_ref[0] = acc_r
+    acc_ref[1] = acc_g
+    acc_ref[2] = acc_b
+
+
+def pack_scene_tables(scene):
+    """SMEM operand tables from an RTScene: (scalars (4,), ecr (O,4),
+    tri_geo (F,12), tri_attr (F,16), sph (S,12))."""
+    f = scene.v0.shape[0]
+    attr = jnp.concatenate([
+        scene.n0, scene.n1, scene.n2,                       # 0:9
+        jnp.where(scene.tri_valid[:, None], scene.mat_kd[scene.tri_mat], 0.0),
+        jnp.where(scene.tri_valid[:, None], scene.mat_emit[scene.tri_mat], 0.0),
+        jnp.zeros((f, 1)),
+    ], axis=1).astype(jnp.float32)                           # (F,16)
+    s = scene.sph_c.shape[0]
+    sph = jnp.concatenate([
+        scene.sph_c,                                         # 0:3
+        scene.sph_r[:, None],                                # 3
+        jnp.where(scene.sph_valid[:, None], scene.mat_emit[scene.sph_mat], 0.0),
+        scene.sph_valid.astype(jnp.float32)[:, None],        # 7 validity
+        jnp.where(scene.sph_valid[:, None], scene.mat_kd[scene.sph_mat], 0.0),
+        jnp.zeros((s, 1)),
+    ], axis=1).astype(jnp.float32)                           # (S,12)
+    n_sph = jnp.where(
+        jnp.any(scene.sph_valid),
+        s - jnp.argmax(jnp.flip(scene.sph_valid.astype(jnp.int32))),
+        0,
+    ).astype(jnp.int32)
+    return attr, sph, n_sph
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bounces", "p_rr", "o_pad", "block", "interpret"),
+)
+def fused_bounce_group(scene, state, live, seed, n_bounces: int,
+                       p_rr: float = 0.8, o_pad: int = None,
+                       block: int = 1024, interpret: bool = False):
+    """Run `n_bounces` fused bounces. state: (18, N) f32 rows
+    [pos, nrm, kd, emit, color, throughput] (component-major);
+    live: (N,) bool; seed: () i32. Returns (acc (3, N), new_state,
+    new_live)."""
+    if o_pad is None:
+        o_pad = scene.emitter_cr.shape[0]
+    n = state.shape[1]
+    assert block % 128 == 0
+    rows = block // 128
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad != n:
+        state = jnp.pad(state, ((0, 0), (0, n_pad - n)))
+        live = jnp.pad(live, (0, n_pad - n))
+
+    attr, sph, n_sph = pack_scene_tables(scene)
+    scal = jnp.stack([
+        scene.n_tri.astype(jnp.int32),
+        scene.n_emitters.astype(jnp.int32),
+        seed.astype(jnp.int32),
+        n_sph,
+    ])
+
+    st = state.reshape(18, nb * rows, 128)
+    lv = live.astype(jnp.int32).reshape(nb * rows, 128)
+
+    out_state, out_live, acc = pl.pallas_call(
+        functools.partial(
+            _bounce_kernel, n_bounces=n_bounces, p_rr=p_rr, o_pad=o_pad
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # ecr
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # tri geo
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # tri attr
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # spheres
+            pl.BlockSpec((18, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((18, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((18, nb * rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb * rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((3, nb * rows, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scal, scene.emitter_cr.astype(jnp.float32), scene.tri_table, attr,
+      sph, st, lv)
+
+    acc = acc.reshape(3, n_pad)[:, :n]
+    out_state = out_state.reshape(18, n_pad)[:, :n]
+    out_live = out_live.reshape(n_pad)[:n] != 0
+    return acc, out_state, out_live

@@ -112,7 +112,8 @@ def mt_tri_coef(v0, v1, v2, valid):
     return jnp.where(vmask, coef, 0.0)
 
 
-def _trace_kernel(coef_ref, phi_ref, t_ref, f_ref, *, chunk: int):
+def _trace_kernel(coef_ref, phi_ref, t_ref, f_ref, *, chunk: int,
+                  precision=jax.lax.Precision.HIGHEST):
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
@@ -125,7 +126,7 @@ def _trace_kernel(coef_ref, phi_ref, t_ref, f_ref, *, chunk: int):
     prod = jax.lax.dot_general(
         coef_ref[0], phi_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32,
     )  # (4C, Nblk)
     up = prod[0:chunk]
@@ -156,9 +157,11 @@ def _trace_kernel(coef_ref, phi_ref, t_ref, f_ref, *, chunk: int):
     t_ref[0] = jnp.where(better, ct, best_t)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "block", "interpret",
+                                             "precision"))
 def trace_nearest_mm(coef, orig, d, chunk: int = 512, block: int = 2048,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     precision=jax.lax.Precision.HIGHEST):
     """Nearest-triangle sweep on the MXU.
 
     coef: (4F, 13) from `mt_tri_coef` (F a multiple of 8; zero rows for
@@ -195,7 +198,7 @@ def trace_nearest_mm(coef, orig, d, chunk: int = 512, block: int = 2048,
 
     grid = (nb, nc)
     t, fi = pl.pallas_call(
-        functools.partial(_trace_kernel, chunk=chunk),
+        functools.partial(_trace_kernel, chunk=chunk, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 4 * chunk, N_FEATURES), lambda i, c: (c, 0, 0),
@@ -215,6 +218,130 @@ def trace_nearest_mm(coef, orig, d, chunk: int = 512, block: int = 2048,
         ],
         interpret=interpret,
     )(coef_c, phi)
+    t = t.reshape(-1)[:n]
+    fi = fi.reshape(-1)[:n]
+    hit = t < BIG
+    return hit, jnp.where(hit, fi, -1)
+
+
+def mt_tri_table(v0, v1, v2, valid):
+    """(F, 12) packed [v0 | e1 | e2 | pad] rows for the VPU kernel;
+    invalid rows zeroed (det = 0 -> rejected). Also returns n_tri, the
+    1 + index of the last valid triangle (loop bound: rt_geometry packs
+    padding at the tail, so the loop usually runs exactly F_real times;
+    interior invalid rows are still rejected by the det test)."""
+    f = v0.shape[0]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    tab = jnp.concatenate([v0, e1, e2, jnp.zeros((f, 3), v0.dtype)], axis=1)
+    tab = jnp.where(valid[:, None], tab, 0.0)
+    n_tri = jnp.where(
+        jnp.any(valid),
+        f - jnp.argmax(jnp.flip(valid.astype(jnp.int32))),
+        0,
+    ).astype(jnp.int32)
+    return tab, n_tri
+
+
+def _vpu_trace_kernel(n_ref, tri_ref, o_ref, d_ref, t_ref, f_ref):
+    """Per-program: rays (R,128) x a scalar-broadcast loop over valid
+    triangles. ~58 VPU ops per triangle on full (R,128) tiles — at
+    reference scene sizes (36-6K tris) this is the speed-of-light shape:
+    no (rays x tris) plane ever exists, no MXU pass overhead, exact
+    f32 with the reference's thresholds."""
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]        # (R, 128)
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    n_tri = n_ref[0]
+
+    def body(f, carry):
+        best_t, best_f = carry
+        v0x = tri_ref[f, 0]
+        v0y = tri_ref[f, 1]
+        v0z = tri_ref[f, 2]
+        e1x = tri_ref[f, 3]
+        e1y = tri_ref[f, 4]
+        e1z = tri_ref[f, 5]
+        e2x = tri_ref[f, 6]
+        e2y = tri_ref[f, 7]
+        e2z = tri_ref[f, 8]
+        # p = d x e2
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = (
+            (jnp.abs(det) >= 1e-6)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= 1e-6)
+        )
+        tm = jnp.where(ok, t, 1e30)
+        better = tm < best_t   # strict <: first (lowest) index wins ties
+        return (
+            jnp.where(better, tm, best_t),
+            jnp.where(better, f, best_f),
+        )
+
+    init = (
+        jnp.full(ox.shape, 1e30, jnp.float32),
+        jnp.full(ox.shape, -1, jnp.int32),
+    )
+    best_t, best_f = jax.lax.fori_loop(0, n_tri, body, init)
+    t_ref[...] = best_t
+    f_ref[...] = best_f
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def trace_nearest_vpu(tri_table, n_tri, orig, d, block: int = 2048,
+                      interpret: bool = False):
+    """Nearest-triangle sweep, fused VPU kernel (small scenes).
+
+    tri_table/n_tri from `mt_tri_table`. orig/d: (N,3).
+    Returns (hit (N,) bool, idx (N,) i32)."""
+    n = orig.shape[0]
+    assert block % 128 == 0
+    rows = block // 128
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad != n:
+        orig = jnp.pad(orig, ((0, n_pad - n), (0, 0)))
+        d = jnp.pad(d, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    oc = orig.T.reshape(3, nb * rows, 128)
+    dc = d.T.reshape(3, nb * rows, 128)
+
+    t, fi = pl.pallas_call(
+        _vpu_trace_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb * rows, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_tri.reshape(1), tri_table, oc, dc)
     t = t.reshape(-1)[:n]
     fi = fi.reshape(-1)[:n]
     hit = t < BIG

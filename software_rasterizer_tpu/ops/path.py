@@ -104,6 +104,81 @@ def compact_perm(live, cap: int):
     return perm, n_live
 
 
+def _fused_auto(scene: RTScene) -> bool:
+    """Static dispatch for the fused bounce kernel (ops/pallas_path):
+    TPU backend + small primitive tables. NOTE the fused kernel treats
+    hit color as Kd (untextured scenes — true of every path-traced
+    reference workload); pass fused=False explicitly for textured
+    emitters."""
+    import os
+
+    flag = os.environ.get("SRT_FUSED_PATH", "auto")
+    if flag == "0":
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if flag == "1":
+        return True
+    return (
+        on_tpu
+        and scene.v0.shape[0] <= 512
+        and scene.sph_c.shape[0] <= 64
+        and scene.emitter_cr.shape[0] <= 8
+    )
+
+
+def _fused_path_trace(scene, hit, key, p_rr, max_bounces, compact_schedule,
+                      radiance, with_stats):
+    """Bounce groups via the fused Pallas kernel (ops/pallas_path):
+    state packed component-major (18, N); compaction between groups."""
+    from software_rasterizer_tpu.ops.pallas_path import fused_bounce_group
+
+    n_lanes = hit.t.shape[0]
+    dropped = jnp.zeros((), jnp.int32)
+    state = jnp.stack([
+        hit.coords[:, 0], hit.coords[:, 1], hit.coords[:, 2],
+        hit.normal[:, 0], hit.normal[:, 1], hit.normal[:, 2],
+        hit.kd[:, 0], hit.kd[:, 1], hit.kd[:, 2],
+        hit.emit[:, 0], hit.emit[:, 1], hit.emit[:, 2],
+        hit.color[:, 0], hit.color[:, 1], hit.color[:, 2],
+        jnp.ones((n_lanes,)), jnp.ones((n_lanes,)), jnp.ones((n_lanes,)),
+    ])                                                   # (18, N)
+    live = hit.hit
+    pixel = jnp.arange(n_lanes, dtype=jnp.int32)
+
+    n_groups = min(len(compact_schedule), max_bounces)
+    per_group = [max_bounces // n_groups] * n_groups
+    for i in range(max_bounces % n_groups):
+        per_group[i] += 1
+
+    compacted = False
+    for g in range(n_groups):
+        cap = min(_align_up(int(n_lanes * compact_schedule[g]), 256), n_lanes)
+        if cap < state.shape[1]:
+            perm, n_live = compact_perm(live, cap)
+            dropped = dropped + jnp.maximum(n_live - cap, 0)
+            state = state[:, perm]
+            pixel = pixel[perm]
+            live = live[perm] & (jnp.arange(cap, dtype=jnp.int32) < n_live)
+            compacted = True
+        seed = jax.random.bits(
+            jax.random.fold_in(key, g), (), jnp.uint32
+        ).astype(jnp.int32)
+        acc, state, live = fused_bounce_group(
+            scene, state, live, seed, per_group[g], p_rr=p_rr,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if compacted:
+            radiance = radiance.at[pixel].add(acc.T)
+        else:
+            radiance = radiance + acc.T
+    if with_stats:
+        return radiance, {"dropped_lanes": dropped}
+    return radiance
+
+
 def path_trace(
     scene: RTScene,
     orig,
@@ -114,6 +189,7 @@ def path_trace(
     chunk: int = 512,
     compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07),
     with_stats: bool = False,
+    fused=None,
 ):
     """One path-tracing sample per lane. orig/d: (N,3). Returns (N,3)
     radiance (the reference's Scene::pathTracing per camera ray), or
@@ -134,6 +210,12 @@ def path_trace(
     dropped = jnp.zeros((), jnp.int32)
     hit = nearest_hit(scene, orig, d, chunk)
     radiance = jnp.where((~hit.hit)[:, None], scene.background, 0.0)
+
+    if _fused_auto(scene) if fused is None else fused:
+        return _fused_path_trace(
+            scene, hit, key, p_rr, max_bounces, compact_schedule,
+            radiance, with_stats,
+        )
 
     state = {
         "hit": hit,
@@ -225,7 +307,8 @@ def path_trace(
 
 
 def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
-                        block_offset=0, compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07)):
+                        block_offset=0, compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07),
+                        fused=None):
     """path_trace mapped over fixed-size lane blocks to bound the
     (lanes x primitives) working set (the wavefront analog of the
     reference's 16x16 TBB pixel tiles, PathTracing.cpp:44-46).
@@ -237,7 +320,7 @@ def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
     if n <= block:
         return path_trace(
             scene, orig, d, jax.random.fold_in(key, block_offset),
-            p_rr, max_bounces, chunk, compact_schedule,
+            p_rr, max_bounces, chunk, compact_schedule, fused=fused,
         )
     pad = (-n) % block
     if pad:
@@ -252,7 +335,7 @@ def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
         o, dd, bi = args
         return path_trace(
             scene, o, dd, jax.random.fold_in(key, bi), p_rr, max_bounces,
-            chunk, compact_schedule,
+            chunk, compact_schedule, fused=fused,
         )
 
     out = jax.lax.map(one, (ob, db, bids))
@@ -263,7 +346,7 @@ def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "p_rr", "max_bounces", "block", "chunk",
-        "compact_schedule",
+        "compact_schedule", "fused",
     ),
 )
 def path_render(
@@ -278,6 +361,7 @@ def path_render(
     block: int = 1 << 16,
     chunk: int = 512,
     compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07),
+    fused=None,
 ):
     """Render one frame: mean over `spp` stochastic samples of the same
     deterministic primary rays (PathTracing.cpp:62-77). Returns (H,W,3)
@@ -286,7 +370,7 @@ def path_render(
     acc = path_render_accumulate(
         scene, orig, d, key, jnp.zeros((width * height, 3)), 0, spp,
         p_rr=p_rr, max_bounces=max_bounces, block=block, chunk=chunk,
-        compact_schedule=compact_schedule,
+        compact_schedule=compact_schedule, fused=fused,
     )
     return (acc / float(spp)).reshape(height, width, 3)
 
@@ -294,7 +378,7 @@ def path_render(
 @functools.partial(
     jax.jit,
     static_argnames=("n_samples", "p_rr", "max_bounces", "block", "chunk",
-                     "compact_schedule"),
+                     "compact_schedule", "fused"),
 )
 def path_render_accumulate(
     scene: RTScene,
@@ -309,6 +393,7 @@ def path_render_accumulate(
     block: int = 1 << 16,
     chunk: int = 512,
     compact_schedule=(1.0, 0.55, 0.3, 0.18, 0.1, 0.07),
+    fused=None,
 ):
     """Add `n_samples` fresh per-lane samples into the running sum image
     `acc` (N,3). Sample indices [start_sample, start_sample+n_samples)
@@ -320,7 +405,8 @@ def path_render_accumulate(
         ks = jax.random.fold_in(key, start_sample + s)
         rad = _blocked_path_trace(scene, orig, d, ks, p_rr, max_bounces,
                                   block, chunk,
-                                  compact_schedule=compact_schedule)
+                                  compact_schedule=compact_schedule,
+                                  fused=fused)
         return acc + rad, None
 
     acc, _ = jax.lax.scan(body, acc, jnp.arange(n_samples, dtype=jnp.int32))

@@ -210,3 +210,26 @@ def test_path_overflow_accounting(cornell_rt):
     _, stats0 = path_trace(rt, orig, d, key, p_rr=0.8, max_bounces=8,
                            chunk=128, with_stats=True)
     assert int(stats0["dropped_lanes"]) == 0
+
+
+def test_fused_path_kernel_statistics(cornell_rt):
+    """The fused Pallas bounce kernel (ops/pallas_path, interpret mode on
+    CPU) must agree with the XLA wavefront statistically: same estimator,
+    different RNG stream. (Validated tighter on real TPU hardware:
+    32x32@1024spp means agree within 0.7% — PERFORMANCE.md r2. Here spp
+    is small to keep interpret mode fast, so the tolerance budgets the
+    Monte-Carlo noise of 24*24*28 clipped samples, ~3.5 sigma.)"""
+    scene, rt = cornell_rt
+    rt = jax.tree_util.tree_map(jnp.asarray, rt)
+    base = path_render(rt, 24, 24, scene.fovy, jax.random.PRNGKey(0),
+                       spp=28, block=576, fused=False)
+    fused = path_render(rt, 24, 24, scene.fovy, jax.random.PRNGKey(0),
+                        spp=28, block=576, fused=True)
+    bm = float(jnp.mean(jnp.clip(base, 0, 1)))
+    fm = float(jnp.mean(jnp.clip(fused, 0, 1)))
+    assert abs(bm - fm) / bm < 0.12, (bm, fm)
+    # the lit structure must correlate strongly once noise is tamed by
+    # clipping (independent streams -> only the signal correlates)
+    b = np.clip(np.asarray(base), 0, 1).ravel()
+    f = np.clip(np.asarray(fused), 0, 1).ravel()
+    assert np.corrcoef(b, f)[0, 1] > 0.5
