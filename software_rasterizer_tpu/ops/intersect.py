@@ -21,11 +21,14 @@ import jax
 import jax.numpy as jnp
 
 from software_rasterizer_tpu.ops.pallas_trace import (
+    chunk_bounds,
     mt_tri_coef,
     mt_tri_table,
     trace_nearest_mm,
+    trace_nearest_mm2,
     trace_nearest_vpu,
 )
+
 from software_rasterizer_tpu.ops.raster import hom_transform
 from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
 
@@ -35,15 +38,16 @@ BIG = jnp.float32(1e30)
 #   <= VPU_TRACE_MAX_TRIS: fused VPU kernel — scalar-broadcast triangle
 #       loop, exact f32, zero MXU-pass overhead; wins for small scenes
 #       (its loop runs exactly n_tri iterations, no pad waste).
-#   <= MM_TRACE_MAX_TRIS: MXU bilinear-matmul kernel (HIGHEST precision
-#       — Mosaic rejects the 3-pass bf16 HIGH mode on this toolchain) —
-#       wins when the per-triangle VPU op count exceeds the K=13 matmul
-#       pass cost.
-#   above: chunk-culled XLA sweep (the kernels stream every triangle
-#       past every ray — no spatial culling; the BVH-ordered chunk path
-#       skips whole (ray-block x chunk) tiles).
+#   <= MM_TRACE_MAX_TRIS: chunk-culled MXU matmul kernel (mm2) —
+#       per-ray-block slab culling over BVH-ordered 128-tri chunks,
+#       whole coefficient table VMEM-resident, HIGHEST precision
+#       matmuls (Mosaic rejects the 3-pass bf16 HIGH mode).
+#   above: chunk-culled XLA sweep (the mm2 coefficient table no longer
+#       fits VMEM; the XLA path streams chunks with lax.cond skips).
+#   SRT_MM_TRACE=1 forces the UNCULLED mm kernel (benchmarks/tests).
 VPU_TRACE_MAX_TRIS = 1024
 MM_TRACE_MAX_TRIS = 16384
+MM2_CHUNK = 128   # culling granule of the mm2 trace kernel
 
 
 def _trace_backend(f_pad: int) -> str:
@@ -62,7 +66,7 @@ def _trace_backend(f_pad: int) -> str:
         return "mm"
     if not on_tpu or f_pad > MM_TRACE_MAX_TRIS:
         return "xla"
-    return "vpu" if f_pad <= VPU_TRACE_MAX_TRIS else "mm"
+    return "vpu" if f_pad <= VPU_TRACE_MAX_TRIS else "mm2"
 
 
 class RTScene(NamedTuple):
@@ -110,6 +114,8 @@ class RTScene(NamedTuple):
     tri_table: jnp.ndarray       # (F, 12) [v0|e1|e2|pad] rows for the
                                  # fused VPU trace kernel
     n_tri: jnp.ndarray           # () i32 1 + last valid triangle index
+    chunk_lo: jnp.ndarray        # (nc,3) per-chunk AABBs (MM2_CHUNK tris,
+    chunk_hi: jnp.ndarray        # BVH-leaf order) for the mm2 cull
     textures: jnp.ndarray
     tex_wh: jnp.ndarray
     background: jnp.ndarray      # (3,)
@@ -155,6 +161,9 @@ def prepare_rt_scene(geom, frame) -> RTScene:
     centers, radii = jax.vmap(obj_bounds)(obj_ids)
 
     _tt, _nt = mt_tri_table(tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid)
+    _clo, _chi = chunk_bounds(
+        tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid, MM2_CHUNK
+    )
     mt = geom.materials
     emitter_order = jnp.argsort(
         ~jnp.asarray(geom.obj_emissive), stable=True
@@ -217,7 +226,7 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         emitter_cr=emitter_cr,
         prim_attr=prim_attr,
         mt_coef=mt_tri_coef(tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid),
-        tri_table=_tt, n_tri=_nt,
+        tri_table=_tt, n_tri=_nt, chunk_lo=_clo, chunk_hi=_chi,
         textures=geom.textures, tex_wh=geom.tex_wh,
         background=frame.background, eye=frame.eye,
     )
@@ -458,6 +467,11 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
         tri_hit, ti = trace_nearest_vpu(
             scene.tri_table, scene.n_tri, orig, d, block=2048,
             interpret=interp,
+        )
+    elif backend == "mm2":
+        tri_hit, ti = trace_nearest_mm2(
+            scene.mt_coef, scene.chunk_lo, scene.chunk_hi, orig, d,
+            chunk=MM2_CHUNK, block=2048, interpret=interp,
         )
     elif backend == "mm":
         tri_hit, ti = trace_nearest_mm(

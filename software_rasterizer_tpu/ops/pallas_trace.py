@@ -45,7 +45,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG = jnp.float32(1e30)
+BIG = 1e30   # plain float: a jnp scalar here becomes a captured
+             # constant in the nested jits and trips a lowering-cache
+             # KeyError ('closed_call') on the axon backend
 N_FEATURES = 13
 
 
@@ -342,6 +344,165 @@ def trace_nearest_vpu(tri_table, n_tri, orig, d, block: int = 2048,
         ],
         interpret=interpret,
     )(n_tri.reshape(1), tri_table, oc, dc)
+    t = t.reshape(-1)[:n]
+    fi = fi.reshape(-1)[:n]
+    hit = t < BIG
+    return hit, jnp.where(hit, fi, -1)
+
+
+def chunk_bounds(v0, v1, v2, valid, chunk: int):
+    """Per-chunk AABBs over BVH-leaf-ordered triangles (the culling
+    granule of trace_nearest_mm2). Returns (lo (nc,3), hi (nc,3));
+    invalid rows contribute nothing (empty chunks get inverted boxes
+    that fail every slab test)."""
+    f = v0.shape[0]
+    if f % chunk:
+        pad = chunk - f % chunk
+        v0 = jnp.pad(v0, ((0, pad), (0, 0)))
+        v1 = jnp.pad(v1, ((0, pad), (0, 0)))
+        v2 = jnp.pad(v2, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+        f += pad
+    nc = f // chunk
+    m = valid[:, None]
+    lo = jnp.where(m, jnp.minimum(jnp.minimum(v0, v1), v2), 1e30)
+    hi = jnp.where(m, jnp.maximum(jnp.maximum(v0, v1), v2), -1e30)
+    return (
+        lo.reshape(nc, chunk, 3).min(1),
+        hi.reshape(nc, chunk, 3).max(1),
+    )
+
+
+def _trace_kernel2(cnt_ref, lst_ref, coef_ref, phi_ref, t_ref, f_ref, *,
+                   chunk: int, precision=jax.lax.Precision.HIGHEST):
+    """Culled sweep: this ray block visits ONLY its listed chunks."""
+    b = pl.program_id(0)
+    cnt = cnt_ref[b]
+    phi = phi_ref[...]
+    shape = (1, phi.shape[1])
+
+    def body(j, carry):
+        best_t, best_f = carry
+        c = lst_ref[0, 0, j]
+        prod = jax.lax.dot_general(
+            coef_ref[c], phi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # (4C, Nblk)
+        up = prod[0:chunk]
+        vp = prod[chunk:2 * chunk]
+        tp = prod[2 * chunk:3 * chunk]
+        det = prod[3 * chunk:4 * chunk]
+        absd = jnp.abs(det)
+        inv = 1.0 / jnp.where(absd < 1e-6, 1.0, det)
+        u = up * inv
+        v = vp * inv
+        t = tp * inv
+        ok = (
+            (absd >= 1e-6)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= 1e-6)
+        )
+        tm = jnp.where(ok, t, 1e30)
+        ct = jnp.min(tm, axis=0, keepdims=True)                  # (1, Nblk)
+        rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        ca = jnp.min(
+            jnp.where(tm == ct, rows, jnp.int32(0x7FFFFFFF)),
+            axis=0, keepdims=True,
+        ) + c * chunk
+        better = ct < best_t
+        return jnp.where(better, ct, best_t), jnp.where(better, ca, best_f)
+
+    init = (
+        jnp.full(shape, 1e30, jnp.float32),
+        jnp.full(shape, -1, jnp.int32),
+    )
+    best_t, best_f = jax.lax.fori_loop(0, cnt, body, init)
+    t_ref[0] = best_t
+    f_ref[0] = best_f
+
+
+# NOT @jax.jit: callers are jitted, and a nested jit here trips a
+# lowering-cache KeyError ('closed_call') on the axon backend.
+def trace_nearest_mm2(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
+                      block: int = 2048, interpret: bool = False):
+    """Chunk-culled nearest-triangle sweep on the MXU.
+
+    Like `trace_nearest_mm`, but each 2048-ray block first slab-tests
+    the per-chunk AABBs (XLA, vectorized) and the kernel loops over only
+    the SURVIVING chunk list — the two-level vectorized-BVH cull of
+    ops/intersect._intersect_tri_raw moved inside one Pallas program
+    (no lax.cond kernel storm, running best in VMEM). Exact: the slab
+    test is conservative, skipped chunks contain no hits.
+
+    coef: (4F, 13) from `mt_tri_coef`; chunk_lo/hi: (nc, 3) from
+    `chunk_bounds` with the SAME chunk size. Requires the whole (nc,
+    4*chunk, 13) coefficient table to fit VMEM (~F<=16K at chunk=128).
+    """
+    f4 = coef.shape[0]
+    f = f4 // 4
+    n = orig.shape[0]
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad != n:
+        orig = jnp.pad(orig, ((0, n_pad - n), (0, 0)))
+        d = jnp.pad(d, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    phi = mt_ray_features(orig, d).T                     # (13, N_pad)
+
+    if f % chunk:
+        pad = chunk - f % chunk
+        cf = coef.reshape(4, f, N_FEATURES)
+        cf = jnp.pad(cf, ((0, 0), (0, pad), (0, 0)))
+        coef = cf.reshape(4 * (f + pad), N_FEATURES)
+        f += pad
+    nc = f // chunk
+    assert chunk_lo.shape[0] == nc, (chunk_lo.shape, nc)
+    coef_c = (
+        coef.reshape(4, nc, chunk, N_FEATURES)
+        .transpose(1, 0, 2, 3)
+        .reshape(nc, 4 * chunk, N_FEATURES)
+    )
+
+    from software_rasterizer_tpu.ops.bvh import slab_test
+
+    ov = slab_test(orig, d, chunk_lo, chunk_hi)          # (N_pad, nc)
+    ov = jnp.any(ov.reshape(nb, block, nc), axis=1)      # (nb, nc)
+    pos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1
+    counts = jnp.sum(ov.astype(jnp.int32), axis=1)
+    tgt = jnp.where(ov, pos, nc)
+    lists = jnp.zeros((nb, nc), jnp.int32)
+    src = jnp.broadcast_to(
+        jnp.arange(nc, dtype=jnp.int32)[None, :], (nb, nc)
+    )
+    lists = jax.vmap(
+        lambda l, tg, s: l.at[tg].set(s, mode="drop", unique_indices=True)
+    )(lists, tgt, src)
+
+    t, fi = pl.pallas_call(
+        functools.partial(_trace_kernel2, chunk=chunk),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # counts
+            pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),                 # chunk list
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # coef table
+            pl.BlockSpec((N_FEATURES, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, lists[:, None, :], coef_c, phi)
     t = t.reshape(-1)[:n]
     fi = fi.reshape(-1)[:n]
     hit = t < BIG

@@ -36,9 +36,17 @@ EPSILON = 1e-5  # Scene.hpp:160
 def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int = 512,
                         lite: bool = False) -> Hit:
     """nearest_hit over large ray sets, mapped over fixed-size blocks to
-    bound the (rays x primitives) working set."""
+    bound the (rays x primitives) working set.
+
+    Blocking only applies on the XLA backend: the Pallas kernels (vpu /
+    mm2) block internally (2048-ray programs) and never materialize a
+    (rays x tris) plane, so handing them the full wavefront in ONE call
+    removes the lax.map serialization (measured: the depth-0 map over 32
+    blocks cost more device time than the traces themselves)."""
+    from software_rasterizer_tpu.ops.intersect import _trace_backend
+
     n = orig.shape[0]
-    if n <= block:
+    if n <= block or _trace_backend(scene.v0.shape[0]) != "xla":
         return nearest_hit(scene, orig, d, chunk, lite=lite)
     pad = (-n) % block
     if pad:

@@ -245,3 +245,33 @@ def test_nearest_hit_mm_path_matches_default(cornell_rt_scene=None):
     np.testing.assert_allclose(
         np.asarray(base.normal)[sel], np.asarray(mm.normal)[sel], atol=1e-5
     )
+
+
+def test_trace_nearest_mm2_matches_brute(monkeypatch):
+    """The chunk-culled MXU kernel (interpret mode on CPU) must agree
+    exactly with the XLA brute sweep: the slab cull is conservative."""
+    import numpy as np
+
+    from software_rasterizer_tpu.ops.pallas_trace import (
+        chunk_bounds, mt_tri_coef, trace_nearest_mm2,
+    )
+
+    rng = np.random.RandomState(3)
+    F, N = 300, 512
+    v0 = jnp.asarray(rng.rand(F, 3) * 2 - 1, jnp.float32)
+    v1 = v0 + jnp.asarray(rng.rand(F, 3) * 0.3, jnp.float32)
+    v2 = v0 + jnp.asarray(rng.rand(F, 3) * 0.3, jnp.float32)
+    valid = jnp.asarray(rng.rand(F) > 0.1)
+    orig = jnp.asarray(rng.rand(N, 3) * 0.2 - 2.0, jnp.float32)
+    d = jnp.asarray(rng.rand(N, 3) + 0.2, jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    coef = mt_tri_coef(v0, v1, v2, valid)
+    lo, hi = chunk_bounds(v0, v1, v2, valid, 64)
+    hit2, i2 = trace_nearest_mm2(
+        coef, lo, hi, orig, d, chunk=64, block=256, interpret=True
+    )
+    hit1, i1, _, _ = intersect_triangles(orig, d, v0, v1, v2, valid, chunk=64)
+    hit1 = jnp.asarray(i1) >= 0
+    assert (np.asarray(hit1) == np.asarray(hit2)).all()
+    assert (np.asarray(i1) == np.asarray(i2)).all()
