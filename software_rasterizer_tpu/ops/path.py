@@ -129,53 +129,39 @@ def _fused_auto(scene: RTScene) -> bool:
     )
 
 
-def _fused_path_trace(scene, hit, key, p_rr, max_bounces, compact_schedule,
-                      radiance, with_stats):
-    """Bounce groups via the fused Pallas kernel (ops/pallas_path):
-    state packed component-major (18, N); compaction between groups."""
+def _fused_path_trace(scene, hit, key, p_rr, max_bounces, radiance,
+                      with_stats):
+    """All `max_bounces` bounces in ONE fused kernel call at FULL
+    wavefront width — no compaction, lossless.
+
+    Measured (v5e, Cornell 1024^2@16spp): compaction is a net LOSS for
+    the fused kernel. The (18, N)-state permutation gathers + radiance
+    scatters at wavefront width cost ~37 ms per boundary, while a fused
+    bounce over even 100% dead lanes costs ~2 ms — full-width
+    no-compaction beat the r1 6-group schedule 26.3 vs 12.7 Mpaths/s.
+    (Block-level in-kernel skipping can't recover the dead-lane work
+    either: Russian-roulette kills are spatially UNcorrelated, so a
+    1024-lane block has ~zero probability of going all-dead within 16
+    bounces.) Dead lanes are masked in-kernel; `dropped_lanes` is
+    exactly 0."""
     from software_rasterizer_tpu.ops.pallas_path import fused_bounce_group
 
-    n_lanes = hit.t.shape[0]
-    dropped = jnp.zeros((), jnp.int32)
     state = jnp.stack([
         hit.coords[:, 0], hit.coords[:, 1], hit.coords[:, 2],
         hit.normal[:, 0], hit.normal[:, 1], hit.normal[:, 2],
         hit.kd[:, 0], hit.kd[:, 1], hit.kd[:, 2],
         hit.emit[:, 0], hit.emit[:, 1], hit.emit[:, 2],
         hit.color[:, 0], hit.color[:, 1], hit.color[:, 2],
-        jnp.ones((n_lanes,)), jnp.ones((n_lanes,)), jnp.ones((n_lanes,)),
+        jnp.ones_like(hit.t), jnp.ones_like(hit.t), jnp.ones_like(hit.t),
     ])                                                   # (18, N)
-    live = hit.hit
-    pixel = jnp.arange(n_lanes, dtype=jnp.int32)
-
-    n_groups = min(len(compact_schedule), max_bounces)
-    per_group = [max_bounces // n_groups] * n_groups
-    for i in range(max_bounces % n_groups):
-        per_group[i] += 1
-
-    compacted = False
-    for g in range(n_groups):
-        cap = min(_align_up(int(n_lanes * compact_schedule[g]), 256), n_lanes)
-        if cap < state.shape[1]:
-            perm, n_live = compact_perm(live, cap)
-            dropped = dropped + jnp.maximum(n_live - cap, 0)
-            state = state[:, perm]
-            pixel = pixel[perm]
-            live = live[perm] & (jnp.arange(cap, dtype=jnp.int32) < n_live)
-            compacted = True
-        seed = jax.random.bits(
-            jax.random.fold_in(key, g), (), jnp.uint32
-        ).astype(jnp.int32)
-        acc, state, live = fused_bounce_group(
-            scene, state, live, seed, per_group[g], p_rr=p_rr,
-            interpret=jax.default_backend() != "tpu",
-        )
-        if compacted:
-            radiance = radiance.at[pixel].add(acc.T)
-        else:
-            radiance = radiance + acc.T
+    seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
+    acc, _, _ = fused_bounce_group(
+        scene, state, hit.hit, seed, max_bounces, p_rr=p_rr,
+        interpret=jax.default_backend() != "tpu",
+    )
+    radiance = radiance + acc.T
     if with_stats:
-        return radiance, {"dropped_lanes": dropped}
+        return radiance, {"dropped_lanes": jnp.zeros((), jnp.int32)}
     return radiance
 
 
@@ -213,8 +199,7 @@ def path_trace(
 
     if _fused_auto(scene) if fused is None else fused:
         return _fused_path_trace(
-            scene, hit, key, p_rr, max_bounces, compact_schedule,
-            radiance, with_stats,
+            scene, hit, key, p_rr, max_bounces, radiance, with_stats,
         )
 
     state = {
@@ -315,8 +300,20 @@ def _blocked_path_trace(scene, orig, d, key, p_rr, max_bounces, block, chunk,
 
     `block_offset` keys the RNG by ABSOLUTE block index so a lane range
     processed on one device of a sharded mesh reproduces the monolithic
-    render bit-for-bit (parallel/render.py)."""
+    render bit-for-bit (parallel/render.py).
+
+    The FUSED path ignores `block` and takes the whole wavefront in one
+    call: the kernel blocks internally (1024-lane programs) and never
+    materializes a (lanes x primitives) plane, so outer blocking only
+    adds lax.map dispatch serialization (measured 12.7 -> 26.3 Mpaths/s
+    removing it at 1024^2)."""
     n = orig.shape[0]
+    use_fused = _fused_auto(scene) if fused is None else fused
+    if use_fused:
+        return path_trace(
+            scene, orig, d, jax.random.fold_in(key, block_offset),
+            p_rr, max_bounces, chunk, compact_schedule, fused=True,
+        )
     if n <= block:
         return path_trace(
             scene, orig, d, jax.random.fold_in(key, block_offset),
