@@ -87,6 +87,16 @@ class _Rng:
             r2 * jnp.cos(TWO_PI * u4),
         )
 
+    def sphere(self):
+        """Uniform unit-sphere direction via glm::sphericalRand's own
+        (z, phi) parameterization (z ~ U[-1,1], phi ~ U[0,2pi]) — same
+        distribution as gauss3+normalize at a third of the transcendental
+        cost (2 uniforms, 1 sqrt, 1 sincos pair; no logs, no normalize)."""
+        z = 1.0 - 2.0 * self.uniform()
+        r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        phi = TWO_PI * self.uniform()
+        return r * jnp.cos(phi), r * jnp.sin(phi), z
+
 
 def _norm3(x, y, z, eps=0.0):
     n = jnp.sqrt(x * x + y * y + z * z)
@@ -532,3 +542,351 @@ def fused_bounce_group(scene, state, live, seed, n_bounces: int,
     out_state = out_state.reshape(18, n_pad)[:, :n]
     out_live = out_live.reshape(n_pad)[:n] != 0
     return acc, out_state, out_live
+
+
+class _RngDyn:
+    """Counter-based per-lane hash RNG with a DYNAMIC stream index:
+    each lane draws from stream (seed, lane, base + i) where `base` is a
+    per-lane i32 plane (sample*8*MAXD + depth*8 here) and `i` the static
+    draw slot within one iteration. Same lowbias32 finalizer as _Rng."""
+
+    def __init__(self, seed, lane, base):
+        self.seed = seed.astype(jnp.uint32)
+        self.lane = lane.astype(jnp.uint32)
+        self.base = base.astype(jnp.uint32)
+        self.i = 0
+
+    def uniform(self):
+        ctr = self.base + jnp.uint32(self.i)
+        self.i += 1
+        # two full mixing rounds: the single-round variant leaves enough
+        # (lane, ctr)-avalanche structure to bias consecutive-draw PAIRS
+        # (measured +3-4 percent image-mean bias through the (z, phi)
+        # sphere warp); finalizing ctr first before combining with lane
+        # removes it (validated vs the XLA estimator in tests)
+        c = ctr * jnp.uint32(0x85EBCA6B) + self.seed
+        c = c ^ (c >> 16)
+        c = c * jnp.uint32(0x7FEB352D)
+        c = c ^ (c >> 15)
+        x = self.lane * jnp.uint32(0x9E3779B1) ^ c
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        return (x >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 24)
+        )
+
+    def sphere(self):
+        z = 1.0 - 2.0 * self.uniform()
+        r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        phi = TWO_PI * self.uniform()
+        return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+
+def _pt_kernel(scal_ref, seeds_ref, cam_ref, ecr_ref, tri_ref, attr_ref,
+               sph_ref, acc_ref, *, p_rr: float, o_pad: int, width: int,
+               height: int, rows: int, spp_static: int):
+    """One WHOLE path-traced frame tile per program: camera-ray
+    generation, primary trace, the full RR bounce loop, AND sample
+    regeneration — a persistent wavefront. When a lane's path dies it
+    immediately restarts its pixel's next sample (the camera ray rides
+    the same dual-trace slot as live lanes' bounce rays), so utilization
+    tracks the per-lane total bounce budget (~spp * E[path length]),
+    not spp * max_depth. Each program while-loops until every lane has
+    consumed `spp` samples — programs retire independently, so the
+    straggler cost is the per-1024-lane-block max, not the global max.
+
+    Semantics per sample are identical to `_bounce_kernel` (reference
+    citations in the module docstring), plus the primary stage:
+      * camera rays aim at the z=0 plane (RayTracing.cpp:52-58 quirk);
+      * primary miss contributes the background color once per sample;
+      * unit-sphere draws use glm::sphericalRand's own (z, phi) scheme.
+
+    RNG: each SAMPLE gets an independent jax.random-derived 32-bit seed
+    (seeds_ref, computed outside from fold_in(key, start_sample + s));
+    within a sample, draws are keyed (sample seed, absolute lane,
+    depth*8 + draw). Deriving the cross-sample variation from
+    full-strength jax.random seeds rather than a counter stride through
+    the in-kernel hash removes measurable cross-sample correlation
+    (image-mean spread matched the XLA estimator's only with this
+    structure), and start_sample-resumed runs reproduce the monolithic
+    per-sample streams exactly."""
+    pid = pl.program_id(0)
+    shape = (rows, 128)
+    n_e = scal_ref[1]
+    spp = scal_ref[4]
+    lane_off = scal_ref[6]
+    max_d = scal_ref[7]
+    any_e = n_e > 0
+    n_e_f = jnp.maximum(n_e, 1).astype(jnp.float32)
+
+    lane = (
+        lane_off
+        + pid * (rows * 128)
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    )
+    inb = lane < width * height
+
+    # camera ray of this lane (constant across the loop)
+    eye_x, eye_y, eye_z = cam_ref[0], cam_ref[1], cam_ref[2]
+    scale = cam_ref[3]
+    aspect = cam_ref[4]
+    bg_r, bg_g, bg_b = cam_ref[5], cam_ref[6], cam_ref[7]
+    lane_c = jnp.where(inb, lane, 0)
+    py_i = lane_c // width
+    px_i = lane_c - py_i * width
+    cxp = (2.0 * (px_i.astype(jnp.float32) + 0.5) / width - 1.0) * aspect * scale
+    cyp = (1.0 - 2.0 * (py_i.astype(jnp.float32) + 0.5) / height) * scale
+    cdx, cdy, cdz = _norm3(cxp - eye_x, cyp - eye_y, 0.0 * cxp - eye_z)
+
+    zero = jnp.zeros(shape, jnp.float32)
+    izero = jnp.zeros(shape, jnp.int32)
+    # state: [pos(3), nrm(3), kd(3), emit(3), color(3), tp(3)] + flags.
+    # liveness rides the carry as i32 — an i1 vector in the scf.while
+    # carry fails Mosaic legalization ('scf.yield')
+    init = (
+        izero,                                        # live (0/1)
+        jnp.where(inb, 0, spp),                       # next_s
+        izero,                                        # depth
+        (zero,) * 18,                                 # packed f32 state
+        (zero, zero, zero),                           # acc
+    )
+
+    def cond(c):
+        live_i, next_s, _, _, _ = c
+        return jnp.any((live_i != 0) | (next_s < spp))
+
+    def body(c):
+        live_i, next_s, depth, st, acc = c
+        live = live_i != 0
+        (px, py, pz, nx, ny, nz, kx, ky, kz,
+         ex, ey, ez, cx_, cy_, cz_, tx_, ty_, tz_) = st
+        acc_r, acc_g, acc_b = acc
+
+        restart = (~live) & (next_s < spp)
+        # per-sample seed: the current sample index of a live lane is
+        # next_s - 1 (seeds_ref holds one jax.random seed per sample)
+        local_s = jnp.maximum(next_s - 1, 0)
+        seed = jnp.zeros(shape, jnp.int32)
+        for k in range(spp_static):
+            seed = jnp.where(local_s == k, seeds_ref[k], seed)
+        rng = _RngDyn(seed, lane, depth * 8)
+
+        nnx, nny, nnz = _norm3(nx, ny, nz)
+
+        # ---- sampleLight (Scene.cpp:429-476)
+        u_pick = rng.uniform()
+        k_e = jnp.minimum(
+            jnp.floor(u_pick * n_e_f).astype(jnp.int32),
+            jnp.maximum(n_e - 1, 0),
+        )
+        ccx = jnp.zeros(shape, jnp.float32)
+        ccy = jnp.zeros(shape, jnp.float32)
+        ccz = jnp.zeros(shape, jnp.float32)
+        crad = jnp.zeros(shape, jnp.float32)
+        for o in range(o_pad):
+            sel = k_e == o
+            ccx = jnp.where(sel, ecr_ref[o, 0], ccx)
+            ccy = jnp.where(sel, ecr_ref[o, 1], ccy)
+            ccz = jnp.where(sel, ecr_ref[o, 2], ccz)
+            crad = jnp.where(sel, ecr_ref[o, 3], crad)
+        blx, bly, blz = _norm3(ccx - px, ccy - py, ccz - pz)
+        sx, sy, sz = rng.sphere()
+        flip = sx * blx + sy * bly + sz * blz < 0
+        sx = jnp.where(flip, -sx, sx)
+        sy = jnp.where(flip, -sy, sy)
+        sz = jnp.where(flip, -sz, sz)
+        hx, hy, hz = rng.sphere()
+        sx, sy, sz = _norm3(sx + 1e-6 * hx, sy + 1e-6 * hy, sz + 1e-6 * hz)
+        spx = ccx + sx * crad
+        spy = ccy + sy * crad
+        spz = ccz + sz * crad
+        llx, lly, llz = _norm3(spx - px, spy - py, spz - pz)
+        cos_t = llx * blx + lly * bly + llz * blz
+        pdf_l = jnp.where(any_e, cos_t * INV_2PI, 0.0)
+
+        # ---- RR + uniform hemisphere (Material.cpp:14-34)
+        u_rr = rng.uniform()
+        survive = u_rr <= p_rr
+        x1 = rng.uniform()
+        x2 = rng.uniform()
+        zl = jnp.abs(1.0 - 2.0 * x1)
+        rl = jnp.sqrt(jnp.maximum(0.0, 1.0 - zl * zl))
+        phi = TWO_PI * x2
+        wx, wy, wz = _to_world(
+            rl * jnp.cos(phi), rl * jnp.sin(phi), zl, nnx, nny, nnz
+        )
+        wx, wy, wz = _norm3(wx, wy, wz)
+        wdn = wx * nnx + wy * nny + wz * nnz
+        cos_o = jnp.maximum(0.0, wdn)
+        pdf_b = jnp.where(wdn > 0, INV_2PI, 0.0)
+
+        # ---- both traces, one primitive loop; restarting lanes ride
+        # the B slot with their camera ray
+        ox = jnp.where(restart, eye_x, px + 1e-6 * nnx)
+        oy = jnp.where(restart, eye_y, py + 1e-6 * nny)
+        oz = jnp.where(restart, eye_z, pz + 1e-6 * nnz)
+        bxd = jnp.where(restart, cdx, wx)
+        byd = jnp.where(restart, cdy, wy)
+        bzd = jnp.where(restart, cdz, wz)
+        sh, nxt = _dual_trace(
+            scal_ref, tri_ref, attr_ref, sph_ref,
+            ox, oy, oz, llx, lly, llz, bxd, byd, bzd,
+        )
+
+        # ---- NEE evaluation for live lanes (Scene.cpp:671-717)
+        tA = sh["t"]
+        hitA = tA < 1e30
+        scx = ox + llx * tA
+        scy = oy + lly * tA
+        scz = oz + llz * tA
+        dist2 = (px - scx) ** 2 + (py - scy) ** 2 + (pz - scz) ** 2
+        not_shadow = jnp.abs(tA * tA - dist2) <= 1e-4
+        seA = sh["emit"]
+        lit = hitA & (
+            jnp.sqrt(seA[0] ** 2 + seA[1] ** 2 + seA[2] ** 2) > EPS
+        ) & any_e
+        snA = sh["nrm"]
+        snx, sny, snz = _norm3(snA[0], snA[1], snA[2], 1e-20)
+        cos_on = jnp.maximum(0.0, nnx * llx + nny * lly + nnz * llz)
+        cos_ln = jnp.maximum(0.0, -(snx * llx + sny * lly + snz * llz))
+        ldn = llx * nnx + lly * nny + llz * nnz
+        pdf_ok_l = (pdf_l >= EPS) & (pdf_l < 1e30) & (pdf_l == pdf_l)
+        denom = jnp.where(pdf_ok_l, pdf_l, 1.0) * jnp.maximum(dist2, 1e-30)
+        nee_s = jnp.where(
+            lit & not_shadow & pdf_ok_l & (ldn > 0),
+            cos_on * cos_ln / denom * INV_PI, 0.0,
+        )
+        cur_emissive = jnp.sqrt(ex * ex + ey * ey + ez * ez) > EPS
+        dirx = jnp.where(cur_emissive, cx_, seA[0] * kx * nee_s)
+        diry = jnp.where(cur_emissive, cy_, seA[1] * ky * nee_s)
+        dirz = jnp.where(cur_emissive, cz_, seA[2] * kz * nee_s)
+        acc_r = acc_r + jnp.where(live, tx_ * dirx, 0.0)
+        acc_g = acc_g + jnp.where(live, ty_ * diry, 0.0)
+        acc_b = acc_b + jnp.where(live, tz_ * dirz, 0.0)
+
+        # ---- primary miss -> background, once per restarted sample
+        tB = nxt["t"]
+        hitB = tB < 1e30
+        p_miss = restart & ~hitB
+        acc_r = acc_r + jnp.where(p_miss, bg_r, 0.0)
+        acc_g = acc_g + jnp.where(p_miss, bg_g, 0.0)
+        acc_b = acc_b + jnp.where(p_miss, bg_b, 0.0)
+
+        # ---- state update
+        neB = nxt["emit"]
+        emisB = jnp.sqrt(neB[0] ** 2 + neB[1] ** 2 + neB[2] ** 2) > EPS
+        pdf_ok = pdf_b >= EPS
+        depth_n = depth + 1
+        live_b = (
+            live & survive & pdf_ok & hitB & ~emisB & (depth_n < max_d)
+        )
+        new_live = live_b | (restart & hitB)
+        wgt = jnp.where(wdn > 0, cos_o / jnp.maximum(pdf_b * p_rr, 1e-30),
+                        0.0) * INV_PI
+        tx_n = jnp.where(restart, 1.0, tx_ * kx * wgt)
+        ty_n = jnp.where(restart, 1.0, ty_ * ky * wgt)
+        tz_n = jnp.where(restart, 1.0, tz_ * kz * wgt)
+        kB = nxt["kd"]
+        nB = nxt["nrm"]
+        nxn, nyn, nzn = _norm3(nB[0], nB[1], nB[2], 1e-20)
+        st_n = (
+            ox + bxd * tB, oy + byd * tB, oz + bzd * tB,
+            nxn, nyn, nzn,
+            kB[0], kB[1], kB[2],
+            neB[0], neB[1], neB[2],
+            kB[0], kB[1], kB[2],          # untextured: color == Kd
+            tx_n, ty_n, tz_n,
+        )
+        st_n = tuple(
+            jnp.where(new_live, a, b) for a, b in zip(st_n, st)
+        )
+        return (
+            new_live.astype(jnp.int32),
+            jnp.where(restart, next_s + 1, next_s),
+            jnp.where(restart, 0, depth_n),
+            st_n,
+            (acc_r, acc_g, acc_b),
+        )
+
+    _, _, _, _, acc = jax.lax.while_loop(cond, body, init)
+    acc_ref[0] = acc[0]
+    acc_ref[1] = acc[1]
+    acc_ref[2] = acc[2]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "p_rr", "max_bounces",
+                     "o_pad", "block", "interpret"),
+)
+def fused_path_camera_render(scene, key, width: int, height: int,
+                             fovy_deg: float, spp: int,
+                             start_sample=0, lane_offset=0,
+                             p_rr: float = 0.8, max_bounces: int = 16,
+                             o_pad: int = None, block: int = 1024,
+                             interpret: bool = False):
+    """Render `spp` full path-tracing samples of the (width x height)
+    camera frame in ONE kernel (grid over 1024-lane pixel blocks).
+    Returns the UN-normalized radiance sum `acc (N, 3)` (divide by spp
+    for the frame). `start_sample` keys the RNG streams for progressive
+    accumulation; `lane_offset` offsets absolute pixel ids for screen-
+    sharded meshes. Applicability mirrors `fused_bounce_group`
+    (untextured small scenes) plus: rays must be THE camera frame."""
+
+    if o_pad is None:
+        o_pad = scene.emitter_cr.shape[0]
+    n = width * height
+    assert block % 128 == 0
+    rows = block // 128
+    nb = -(-n // block)
+
+    attr, sph, n_sph = pack_scene_tables(scene)
+    skeys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        key, jnp.asarray(start_sample, jnp.int32) + jnp.arange(spp)
+    )
+    seeds = jax.vmap(
+        lambda k: jax.random.bits(k, (), jnp.uint32)
+    )(skeys).astype(jnp.int32)
+    scal = jnp.stack([
+        scene.n_tri.astype(jnp.int32),
+        scene.n_emitters.astype(jnp.int32),
+        jnp.zeros((), jnp.int32),
+        n_sph,
+        jnp.asarray(spp, jnp.int32),
+        jnp.asarray(start_sample, jnp.int32),
+        jnp.asarray(lane_offset, jnp.int32),
+        jnp.asarray(max_bounces, jnp.int32),
+    ])
+    scale = jnp.tan(jnp.radians(jnp.float32(fovy_deg)) * 0.5)
+    cam = jnp.concatenate([
+        scene.eye.astype(jnp.float32),
+        jnp.stack([scale, jnp.float32(width / float(height))]),
+        scene.background.astype(jnp.float32),
+    ])
+
+    acc = pl.pallas_call(
+        functools.partial(
+            _pt_kernel, p_rr=p_rr, o_pad=o_pad, width=width, height=height,
+            rows=rows, spp_static=spp,
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # seeds
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # camera
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # ecr
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # tri geo
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # tri attr
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # spheres
+        ],
+        out_specs=pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, nb * rows, 128), jnp.float32),
+        interpret=interpret,
+    )(scal, seeds, cam, scene.emitter_cr.astype(jnp.float32),
+      scene.tri_table, attr, sph)
+    return acc.reshape(3, nb * rows * 128)[:, :n]

@@ -362,7 +362,27 @@ def path_render(
 ):
     """Render one frame: mean over `spp` stochastic samples of the same
     deterministic primary rays (PathTracing.cpp:62-77). Returns (H,W,3)
-    float radiance (pre-clamp; Tools::normalizedToRGB applies at I/O)."""
+    float radiance (pre-clamp; Tools::normalizedToRGB applies at I/O).
+
+    When the fused dispatch applies (TPU + small untextured scene), the
+    WHOLE FRAME renders in one persistent-wavefront kernel
+    (ops/pallas_path.fused_path_camera_render): camera rays, primary
+    trace, all bounces, and sample REGENERATION — a lane whose path dies
+    immediately starts its pixel's next sample, so per-lane work tracks
+    spp * E[path length] instead of spp * max_bounces."""
+    use_fused = _fused_auto(scene) if fused is None else fused
+    if use_fused:
+        from software_rasterizer_tpu.ops.pallas_path import (
+            fused_path_camera_render,
+        )
+
+        acc = fused_path_camera_render(
+            scene, key, width, height, fovy, spp, p_rr=p_rr,
+            max_bounces=max_bounces,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return (acc.T / float(spp)).reshape(height, width, 3)
+
     orig, d = camera_rays(scene.eye, fovy, width, height)
     acc = path_render_accumulate(
         scene, orig, d, key, jnp.zeros((width * height, 3)), 0, spp,
