@@ -108,6 +108,9 @@ class RTScene(NamedTuple):
                                  # per-lane emitter pick
     prim_attr: jnp.ndarray       # (P_pad, 40) per-primitive attribute rows
                                  # (tris then spheres; see _pack_prim_attr)
+    prim_shadow: jnp.ndarray     # (P_pad, 12) [v0|v1|v2|emit] rows — the
+                                 # minimal epilogue table for emit-only
+                                 # shadow traces (nearest_emit_hit)
     mt_coef: jnp.ndarray         # (4F, 13) bilinear Moller-Trumbore
                                  # coefficients (ops/pallas_trace.mt_tri_coef)
                                  # for the MXU trace kernel
@@ -208,6 +211,15 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         zeros_s, zeros_s, zeros_s,
     ], axis=1)
     prim_attr = jnp.concatenate([tri_rows, sph_rows], axis=0)
+    prim_shadow = jnp.concatenate([
+        jnp.concatenate([tv[:, 0], tv[:, 1], tv[:, 2], tri_emit], axis=1),
+        jnp.concatenate(
+            [jnp.zeros((ns, 9)),
+             jnp.where(geom.sph_valid[:, None],
+                       mt.emission[geom.sph_mat], 0.0)],
+            axis=1,
+        ),
+    ], axis=0).astype(jnp.float32)
 
     return RTScene(
         v0=tv[:, 0], v1=tv[:, 1], v2=tv[:, 2],
@@ -225,6 +237,7 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         n_emitters=jnp.sum(jnp.asarray(geom.obj_emissive).astype(jnp.int32)),
         emitter_cr=emitter_cr,
         prim_attr=prim_attr,
+        prim_shadow=prim_shadow,
         mt_coef=mt_tri_coef(tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid),
         tri_table=_tt, n_tri=_nt, chunk_lo=_clo, chunk_hi=_chi,
         textures=geom.textures, tex_wh=geom.tex_wh,
@@ -447,6 +460,73 @@ def _onehot_rows(idx, table, precision=jax.lax.Precision.HIGHEST):
                    preferred_element_type=jnp.float32)
 
 
+def _trace_tris(scene: RTScene, orig, d, chunk: int):
+    """Winner search over triangles via the tiered backends; returns
+    (tri_hit (N,) bool, idx (N,) i32)."""
+    f_pad = scene.v0.shape[0]
+    backend = _trace_backend(f_pad)
+    interp = jax.default_backend() != "tpu"
+    if backend == "vpu":
+        return trace_nearest_vpu(
+            scene.tri_table, scene.n_tri, orig, d, block=2048,
+            interpret=interp,
+        )
+    if backend == "mm2":
+        return trace_nearest_mm2(
+            scene.mt_coef, scene.chunk_lo, scene.chunk_hi, orig, d,
+            chunk=MM2_CHUNK, block=2048, interpret=interp,
+        )
+    if backend == "mm":
+        return trace_nearest_mm(
+            scene.mt_coef, orig, d, chunk=min(512, f_pad),
+            block=2048, interpret=interp,
+        )
+    return _intersect_tri_raw(
+        orig, d, scene.v0, scene.v1, scene.v2, scene.tri_valid, chunk
+    )
+
+
+class ShadowHit(NamedTuple):
+    """Minimal record for emit-only visibility rays (the Whitted shadow
+    test needs only whether the NEAREST hit is emissive and its t,
+    Scene.cpp:522-545)."""
+
+    hit: jnp.ndarray   # (N,) bool
+    t: jnp.ndarray     # (N,) f32 (BIG on miss)
+    emit: jnp.ndarray  # (N,3)
+
+
+def nearest_emit_hit(scene: RTScene, orig, d, chunk: int = 512) -> ShadowHit:
+    """Nearest-hit with the MINIMAL epilogue: one 12-column row-gather
+    ([v0|v1|v2|emit], prim_shadow) instead of the 40-column attribute
+    join — shadow rays don't need normals, uv, materials, or textures.
+    The exact winner t is still recomputed (_mt_uv) so the t^2-vs-dist^2
+    shadow acceptance matches the scalar oracle bit-for-bit."""
+    f_pad = scene.v0.shape[0]
+    tri_hit, ti = _trace_tris(scene, orig, d, chunk)
+    tidx = jnp.maximum(ti, 0)
+    use_onehot = f_pad + scene.sph_c.shape[0] <= 1024
+    if use_onehot:
+        a = _onehot_rows(tidx, scene.prim_shadow[:f_pad])
+    else:
+        a = scene.prim_shadow[:f_pad][tidx]
+    _, _, t_tri = _mt_uv(orig, d, a[:, 0:3], a[:, 3:6], a[:, 6:9])
+    tt = jnp.where(tri_hit, t_tri, BIG)
+
+    st, si = intersect_spheres(
+        orig, d, scene.sph_c, scene.sph_r, scene.sph_valid, 0.0
+    )
+    use_s = st < tt
+    t = jnp.where(use_s, st, tt)
+    sidx = jnp.maximum(si, 0)
+    s_emit = jnp.where(
+        scene.sph_valid[sidx][:, None], scene.mat_emit[scene.sph_mat[sidx]],
+        0.0,
+    )
+    emit = jnp.where(use_s[:, None], s_emit, a[:, 9:12])
+    return ShadowHit(hit=t < BIG, t=t, emit=emit)
+
+
 def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
                 sphere_t_min: float = 0.0, lite: bool = False) -> Hit:
     """Scene::traceScene (Scene.cpp:349-396): nearest over all primitives,
@@ -461,27 +541,7 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
     (the one-hot plane stays cheap); large scenes fall back to gathers.
     """
     f_pad = scene.v0.shape[0]
-    backend = _trace_backend(f_pad)
-    interp = jax.default_backend() != "tpu"
-    if backend == "vpu":
-        tri_hit, ti = trace_nearest_vpu(
-            scene.tri_table, scene.n_tri, orig, d, block=2048,
-            interpret=interp,
-        )
-    elif backend == "mm2":
-        tri_hit, ti = trace_nearest_mm2(
-            scene.mt_coef, scene.chunk_lo, scene.chunk_hi, orig, d,
-            chunk=MM2_CHUNK, block=2048, interpret=interp,
-        )
-    elif backend == "mm":
-        tri_hit, ti = trace_nearest_mm(
-            scene.mt_coef, orig, d, chunk=min(512, f_pad),
-            block=2048, interpret=interp,
-        )
-    else:
-        tri_hit, ti = _intersect_tri_raw(
-            orig, d, scene.v0, scene.v1, scene.v2, scene.tri_valid, chunk
-        )
+    tri_hit, ti = _trace_tris(scene, orig, d, chunk)
     tidx = jnp.maximum(ti, 0)
     use_onehot = f_pad + scene.sph_c.shape[0] <= 1024
 

@@ -83,35 +83,43 @@ def _pick_emitter_center(scene: RTScene, key, rid, salt: int = 0):
     return cr[:, 0:3], n_emissive > 0
 
 
-def whitted_phong_direct(scene: RTScene, hit: Hit, ray_dir, spp: int, key,
-                         block: int = 8192, chunk: int = 512, rid=None):
+def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
+                         spp: int, key, block: int = 8192, chunk: int = 512,
+                         rid=None):
     """The DIFFUSE_AND_GLOSSY branch (Scene.cpp:509-574), averaged over
     `spp` emitter picks (identical picks when one emitter exists, matching
-    the reference's deterministic resampling loop)."""
-    n = hit.t.shape[0]
+    the reference's deterministic resampling loop).
+
+    Takes the shading-point fields explicitly (coords/nrm/color/mat) so
+    callers can COMPACT to the diffuse-hit lanes first; shadow rays use
+    the emit-only epilogue (nearest_emit_hit) — visibility needs neither
+    normals nor materials of the blocker."""
+    from software_rasterizer_tpu.ops.intersect import nearest_emit_hit
+
+    n = coords.shape[0]
     if rid is None:
         rid = jnp.arange(n, dtype=jnp.int32)
-    nrm = hit.normal
     total = jnp.zeros((n, 3))
     for s in range(spp):
         center, any_emitter = _pick_emitter_center(scene, key, rid, s)
-        l = optics.normalize(center - hit.coords)
-        shadow = blocked_nearest_hit(scene, hit.coords, l, block, chunk, lite=True)
+        l = optics.normalize(center - coords)
+        shadow = nearest_emit_hit(scene, coords, l, chunk)
         lit = shadow.hit & (jnp.linalg.norm(shadow.emit, axis=-1) >= EPSILON) & any_emitter
         emit = shadow.emit
         diff = jnp.maximum(0.0, jnp.sum(nrm * l, axis=-1))
         refl = optics.normalize(optics.reflect(-l, nrm))
-        spec_exp = scene.mat_spec[hit.mat]
+        spec_exp = scene.mat_spec[mat]
         spec = jnp.maximum(0.0, -jnp.sum(ray_dir * refl, axis=-1)) ** spec_exp
-        dist2 = jnp.sum((hit.coords - shadow.coords) ** 2, axis=-1)
+        scoords = coords + l * shadow.t[:, None]
+        dist2 = jnp.sum((coords - scoords) ** 2, axis=-1)
         t2 = shadow.t * shadow.t
         is_shadow = jnp.abs(t2 - dist2) > 1e-6
         ambient = jnp.where(is_shadow[:, None], 0.0, emit)
         diffuse = jnp.where(is_shadow[:, None], 0.0, diff[:, None] * emit)
         specular = spec[:, None] * emit
-        ka = scene.mat_ka[hit.mat]
-        ks = scene.mat_ks[hit.mat]
-        v = ambient * ka + hit.color * diffuse + specular * ks
+        ka = scene.mat_ka[mat]
+        ks = scene.mat_ks[mat]
+        v = ambient * ka + color * diffuse + specular * ks
         total = total + jnp.where(lit[:, None], v, 0.0)
     return total / float(spp)
 
@@ -201,8 +209,8 @@ def whitted_trace(
         # DIFFUSE_AND_GLOSSY -> terminal Phong direct lighting
         is_diffuse = live & hit.hit & (mat_type == 0)
         direct = whitted_phong_direct(
-            scene, hit, i_dir, spp, jax.random.fold_in(key, depth), block, chunk,
-            rid=rays["rid"],
+            scene, hit.coords, nrm, hit.color, hit.mat, i_dir, spp,
+            jax.random.fold_in(key, depth), block, chunk, rid=rays["rid"],
         )
         # one combined radiance deposit per depth; at depth 0 lane i is
         # pixel i, so a plain add replaces the scatter
@@ -211,7 +219,14 @@ def whitted_trace(
         if depth == 0:
             img = img + deposit
         else:
-            img = img.at[pixel].add(deposit)
+            # per-CHANNEL 1-D scatters: XLA lays the (N,3) image out
+            # column-major ({0,1}), making a row-scatter-add ~70x the
+            # cost of three 1-D scatters on these shapes (profiled 20 ms
+            # vs 0.15 ms at 0.5M rows into 1M lanes)
+            img = jnp.stack(
+                [img[:, c].at[pixel].add(deposit[:, c]) for c in range(3)],
+                axis=1,
+            )
 
         if depth == max_depth:
             break  # children would exceed depth cap -> contribute black
