@@ -222,9 +222,14 @@ def bench_path(width, height, spp, repeats):
     rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
     rt = jax.tree_util.tree_map(jax.device_put, rt)
 
+    import numpy as np
+
     def render(seed):
         img = path_render(rt, width, height, scene.fovy, make_key(seed), spp=spp)
-        img.block_until_ready()
+        # a one-element fetch forces completion: on this platform
+        # block_until_ready() can return before the program finishes
+        # (see bench_raster methodology note)
+        np.asarray(img[0, 0, 0])
         return img
 
     t0 = time.time()
@@ -249,6 +254,68 @@ def bench_path(width, height, spp, repeats):
     })
 
 
+def bench_stress(width, height, repeats):
+    """Scaling-path proof (VERDICT r1 item 6): nearest-hit primary-ray
+    sweep on the 318K-triangle tessellated bunny, chunk-culled vs
+    unculled brute force. Not part of the default run (BENCH_MODE=stress):
+    the reference has no comparable workload — this measures OUR scaling
+    claim, reported as the culled/brute speedup factor."""
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    from software_rasterizer_tpu.ops.camera import camera_rays
+    from software_rasterizer_tpu.ops.intersect import (
+        _intersect_tri_raw,
+        prepare_rt_scene,
+    )
+    from software_rasterizer_tpu.scenes.stress import build_stress_scene
+
+    scene = build_stress_scene(levels=3)
+    scene.set_ndc_matrix(width, height)
+    geom = scene.rt_geometry()
+    rt = jax.tree_util.tree_map(
+        jax.device_put, prepare_rt_scene(geom, scene.rt_frame())
+    )
+    n_tri = int(np.asarray(geom.face_valid).sum())
+    orig, d = camera_rays(rt.eye, scene.fovy, width, height)
+    orig, d = jax.device_put(orig), jax.device_put(d)
+
+    import functools
+
+    def run(cull):
+        f = jax.jit(functools.partial(
+            _intersect_tri_raw, cull_chunks=cull, chunk=512,
+        ))
+        hit, idx = f(orig, d, rt.v0, rt.v1, rt.v2, rt.tri_valid)
+        idx.block_until_ready()
+        ts = []
+        for _ in range(repeats):
+            t0 = _t.time()
+            hit, idx = f(orig, d, rt.v0, rt.v1, rt.v2, rt.tri_valid)
+            idx.block_until_ready()
+            ts.append(_t.time() - t0)
+        return min(ts), idx
+
+    t_cull, idx_c = run(True)
+    t_brute, idx_b = run(False)
+    exact = bool(np.array_equal(np.asarray(idx_c), np.asarray(idx_b)))
+    mrays = width * height / t_cull / 1e6
+    _emit({
+        "metric": "stress_trace_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": None,
+        "config": f"{width}x{height} primary rays, {n_tri} tris",
+        "device": str(jax.devices()[0]),
+        "culled_s": round(t_cull, 4),
+        "brute_s": round(t_brute, 4),
+        "cull_speedup": round(t_brute / t_cull, 2),
+        "exact_vs_brute": exact,
+    })
+
+
 def main():
     width = int(os.environ.get("BENCH_WIDTH", 1024))
     height = int(os.environ.get("BENCH_HEIGHT", 1024))
@@ -269,6 +336,8 @@ def main():
             print(f"# whitted bench unavailable ({e})", file=sys.stderr)
     if mode in ("path", "all"):
         bench_path(width, height, spp, repeats)
+    if mode == "stress":
+        bench_stress(width, height, max(repeats, 2))
 
 
 if __name__ == "__main__":
