@@ -284,17 +284,31 @@ def bench_stress(width, height, repeats):
 
     import functools
 
-    def run(cull):
-        f = jax.jit(functools.partial(
-            _intersect_tri_raw, cull_chunks=cull, chunk=512,
-        ))
-        hit, idx = f(orig, d, rt.v0, rt.v1, rt.v2, rt.tri_valid)
-        idx.block_until_ready()
+    import jax.numpy as jnp
+
+    def run(cull, block=8192):
+        # blocked sweep (the production shape, ops/whitted
+        # blocked_nearest_hit): per-chunk culling needs RAY LOCALITY —
+        # an any() over the full frame enters every chunk some ray
+        # touches, which at full width is all of them
+        def blocked(o, dd):
+            nb = o.shape[0] // block
+            return jax.lax.map(
+                lambda od: _intersect_tri_raw(
+                    od[0], od[1], rt.v0, rt.v1, rt.v2, rt.tri_valid,
+                    chunk=512, cull_chunks=cull,
+                ),
+                (o.reshape(nb, block, 3), dd.reshape(nb, block, 3)),
+            )
+
+        f = jax.jit(blocked)
+        hit, idx = f(orig, d)
+        np.asarray(idx[0, 0])
         ts = []
         for _ in range(repeats):
             t0 = _t.time()
-            hit, idx = f(orig, d, rt.v0, rt.v1, rt.v2, rt.tri_valid)
-            idx.block_until_ready()
+            hit, idx = f(orig, d)
+            np.asarray(idx[0, 0])
             ts.append(_t.time() - t0)
         return min(ts), idx
 
