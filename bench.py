@@ -338,20 +338,51 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", 30))
     mode = os.environ.get("BENCH_MODE", "all")
 
-    if mode in ("raster", "all"):
-        try:
-            bench_raster(width, height, n_frames)
-        except Exception as e:
-            print(f"# raster bench unavailable ({e})", file=sys.stderr)
-    if mode in ("whitted", "all"):
-        try:
-            bench_whitted(width, height, repeats)
-        except Exception as e:
-            print(f"# whitted bench unavailable ({e})", file=sys.stderr)
-    if mode in ("path", "all"):
-        bench_path(width, height, spp, repeats)
+    if mode == "all":
+        # one fresh PROCESS per pipeline: after the raster bench runs,
+        # whitted/path compiles in the same process fail with a backend
+        # INVALID_ARGUMENT on this platform (reproducible; isolation is
+        # the robust fix — the compile cache keeps restarts cheap).
+        # Path (the headline) runs LAST so its JSON line is the tail.
+        import subprocess
+
+        env = dict(os.environ)
+        for sub in ("raster", "whitted", "path"):
+            env["BENCH_MODE"] = sub
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, text=True, timeout=3600,
+            )
+            sys.stdout.write(r.stdout)
+            sys.stdout.flush()
+            if r.returncode != 0:
+                print(f"# {sub} bench failed (rc={r.returncode})",
+                      file=sys.stderr)
+        return
+
+    def attempt(fn, *args, required=False):
+        # the tunnel-attached TPU occasionally throws a transient error;
+        # one retry recovers it
+        err = None
+        for i in range(2):
+            try:
+                return fn(*args)
+            except Exception as e:
+                print(f"# {fn.__name__} attempt {i} failed ({e})",
+                      file=sys.stderr)
+                err = e
+        if required:
+            raise err
+        return None
+
+    if mode == "raster":
+        attempt(bench_raster, width, height, n_frames)
+    if mode == "whitted":
+        attempt(bench_whitted, width, height, repeats)
+    if mode == "path":
+        attempt(bench_path, width, height, spp, repeats, required=True)
     if mode == "stress":
-        bench_stress(width, height, max(repeats, 2))
+        attempt(bench_stress, width, height, max(repeats, 2))
 
 
 if __name__ == "__main__":

@@ -51,8 +51,11 @@ BIG = 1e30   # plain float: a jnp scalar here becomes a captured
 N_FEATURES = 13
 
 
-def mt_ray_features(orig, d):
-    """phi(o, d): (N, 13) bilinear Moller-Trumbore ray features."""
+def mt_ray_features(orig, d, transposed: bool = False):
+    """phi(o, d): (N, 13) bilinear Moller-Trumbore ray features —
+    or (13, N) directly when `transposed` (feature-major is what the
+    trace kernels consume; stacking on axis 0 avoids a separate (N,13)
+    -> (13,N) relayout of the 1M-row feature matrix)."""
     ox, oy, oz = orig[:, 0], orig[:, 1], orig[:, 2]
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
     return jnp.stack(
@@ -62,7 +65,7 @@ def mt_ray_features(orig, d):
             ox, oy, oz,
             jnp.ones_like(ox),
         ],
-        axis=1,
+        axis=0 if transposed else 1,
     )
 
 
@@ -182,7 +185,7 @@ def trace_nearest_mm(coef, orig, d, chunk: int = 512, block: int = 2048,
     if n_pad != n:
         orig = jnp.pad(orig, ((0, n_pad - n), (0, 0)))
         d = jnp.pad(d, ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    phi = mt_ray_features(orig, d).T                     # (13, N_pad)
+    phi = mt_ray_features(orig, d, transposed=True)      # (13, N_pad)
 
     if f % chunk:
         pad = chunk - f % chunk
@@ -373,16 +376,86 @@ def chunk_bounds(v0, v1, v2, valid, chunk: int):
     )
 
 
+def _cull_prepass_kernel(cab_ref, o_ref, d_ref, m_ref, *, nc: int):
+    """Per-ray-block chunk mask: m[c] = any ray of this block enters
+    chunk c's AABB (exact ops/bvh.slab_test semantics, so culling is
+    identical to the XLA prepass). Replaces the (N_pad, nc) slab plane
+    the XLA prepass materializes in HBM (~40% of a culled trace at 1M
+    rays) with an in-VMEM loop."""
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]            # (rows, 128)
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    ix = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+    iy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+    iz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jnp.zeros((8, 128), jnp.int32)
+    for c in range(nc):
+        t0 = (cab_ref[c, 0] - ox) * ix
+        t1 = (cab_ref[c, 3] - ox) * ix
+        tmin = jnp.minimum(t0, t1)
+        tmax = jnp.maximum(t0, t1)
+        t0 = (cab_ref[c, 1] - oy) * iy
+        t1 = (cab_ref[c, 4] - oy) * iy
+        tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+        tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        t0 = (cab_ref[c, 2] - oz) * iz
+        t1 = (cab_ref[c, 5] - oz) * iz
+        tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+        tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        hit = jnp.any(tmax >= jnp.maximum(tmin, 0.0))
+        row = jnp.where((lane == c) & hit, 1, row)
+    m_ref[0] = row
+
+
+def _cull_prepass(chunk_lo, chunk_hi, orig, d, block: int,
+                  interpret: bool = False):
+    """(nb, nc) bool per-block chunk overlap via the Pallas kernel.
+    orig/d must already be padded to nb*block rows."""
+    nc = chunk_lo.shape[0]
+    assert nc <= 128, nc
+    n = orig.shape[0]
+    nb = n // block
+    rows = block // 128
+    cab = jnp.concatenate([chunk_lo, chunk_hi], axis=1).astype(jnp.float32)
+    oc = orig.T.reshape(3, nb * rows, 128)
+    dc = d.T.reshape(3, nb * rows, 128)
+    m = pl.pallas_call(
+        functools.partial(_cull_prepass_kernel, nc=nc),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, 128), jnp.int32),
+        interpret=interpret,
+    )(cab, oc, dc)
+    return m[:, 0, :nc] != 0
+
+
 def _trace_kernel2(cnt_ref, lst_ref, coef_ref, phi_ref, t_ref, f_ref, *,
                    chunk: int, precision=jax.lax.Precision.HIGHEST):
-    """Culled sweep: this ray block visits ONLY its listed chunks."""
+    """Culled sweep: this ray block visits ONLY its listed chunks.
+
+    The running best rides as FULL (chunk, Nblk) planes with tie-aware
+    elementwise updates — per-chunk (min, argmin-among-equal) reduces
+    cost ~2x the per-chunk matmul epilogue at chunk=128 (two 128-row
+    reductions per chunk vs two cheap selects here); the (chunk, Nblk)
+    -> (1, Nblk) resolve runs ONCE after the loop. Tie-break stays
+    exactly the reference's lowest-global-index rule: within a row slot
+    the LOWEST chunk wins (strict <, ascending chunk list), and ties in
+    t across row slots resolve by explicit global-index comparison."""
     b = pl.program_id(0)
     cnt = cnt_ref[b]
     phi = phi_ref[...]
-    shape = (1, phi.shape[1])
+    n = phi.shape[1]
 
     def body(j, carry):
-        best_t, best_f = carry
+        best_t, best_f = carry                                   # (C, Nblk)
         c = lst_ref[0, 0, j]
         prod = jax.lax.dot_general(
             coef_ref[c], phi,
@@ -406,28 +479,38 @@ def _trace_kernel2(cnt_ref, lst_ref, coef_ref, phi_ref, t_ref, f_ref, *,
             & (t >= 1e-6)
         )
         tm = jnp.where(ok, t, 1e30)
-        ct = jnp.min(tm, axis=0, keepdims=True)                  # (1, Nblk)
         rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-        ca = jnp.min(
-            jnp.where(tm == ct, rows, jnp.int32(0x7FFFFFFF)),
-            axis=0, keepdims=True,
-        ) + c * chunk
-        better = ct < best_t
-        return jnp.where(better, ct, best_t), jnp.where(better, ca, best_f)
+        fm = rows + c * chunk
+        # equal t within a row slot: the earlier (lower-index) chunk
+        # wins via strict <; chunk lists are ascending
+        better = tm < best_t
+        return (
+            jnp.where(better, tm, best_t),
+            jnp.where(better, fm, best_f),
+        )
 
     init = (
-        jnp.full(shape, 1e30, jnp.float32),
-        jnp.full(shape, -1, jnp.int32),
+        jnp.full((chunk, n), 1e30, jnp.float32),
+        jnp.full((chunk, n), 0x7FFFFFFF, jnp.int32),
     )
     best_t, best_f = jax.lax.fori_loop(0, cnt, body, init)
-    t_ref[0] = best_t
-    f_ref[0] = best_f
+    # one final exact resolve: min t, then lowest global index among
+    # the equal-t row slots
+    ct = jnp.min(best_t, axis=0, keepdims=True)                  # (1, Nblk)
+    cf = jnp.min(
+        jnp.where(best_t == ct, best_f, jnp.int32(0x7FFFFFFF)),
+        axis=0, keepdims=True,
+    )
+    miss = ct >= 1e30
+    t_ref[0] = ct
+    f_ref[0] = jnp.where(miss, -1, cf)
 
 
 # NOT @jax.jit: callers are jitted, and a nested jit here trips a
 # lowering-cache KeyError ('closed_call') on the axon backend.
 def trace_nearest_mm2(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
-                      block: int = 2048, interpret: bool = False):
+                      block: int = 2048, interpret: bool = False,
+                      cull: bool = True):
     """Chunk-culled nearest-triangle sweep on the MXU.
 
     Like `trace_nearest_mm`, but each 2048-ray block first slab-tests
@@ -449,7 +532,7 @@ def trace_nearest_mm2(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
     if n_pad != n:
         orig = jnp.pad(orig, ((0, n_pad - n), (0, 0)))
         d = jnp.pad(d, ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    phi = mt_ray_features(orig, d).T                     # (13, N_pad)
+    phi = mt_ray_features(orig, d, transposed=True)      # (13, N_pad)
 
     if f % chunk:
         pad = chunk - f % chunk
@@ -465,20 +548,24 @@ def trace_nearest_mm2(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
         .reshape(nc, 4 * chunk, N_FEATURES)
     )
 
-    from software_rasterizer_tpu.ops.bvh import slab_test
-
-    ov = slab_test(orig, d, chunk_lo, chunk_hi)          # (N_pad, nc)
-    ov = jnp.any(ov.reshape(nb, block, nc), axis=1)      # (nb, nc)
-    pos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1
-    counts = jnp.sum(ov.astype(jnp.int32), axis=1)
-    tgt = jnp.where(ov, pos, nc)
-    lists = jnp.zeros((nb, nc), jnp.int32)
-    src = jnp.broadcast_to(
-        jnp.arange(nc, dtype=jnp.int32)[None, :], (nb, nc)
-    )
-    lists = jax.vmap(
-        lambda l, tg, s: l.at[tg].set(s, mode="drop", unique_indices=True)
-    )(lists, tgt, src)
+    if cull:
+        ov = _cull_prepass(chunk_lo, chunk_hi, orig, d, block,
+                           interpret=interpret)          # (nb, nc)
+        pos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1
+        counts = jnp.sum(ov.astype(jnp.int32), axis=1)
+        tgt = jnp.where(ov, pos, nc)
+        lists = jnp.zeros((nb, nc), jnp.int32)
+        src = jnp.broadcast_to(
+            jnp.arange(nc, dtype=jnp.int32)[None, :], (nb, nc)
+        )
+        lists = jax.vmap(
+            lambda l, tg, s: l.at[tg].set(s, mode="drop", unique_indices=True)
+        )(lists, tgt, src)
+    else:
+        counts = jnp.full((nb,), nc, jnp.int32)
+        lists = jnp.broadcast_to(
+            jnp.arange(nc, dtype=jnp.int32)[None, :], (nb, nc)
+        )
 
     t, fi = pl.pallas_call(
         functools.partial(_trace_kernel2, chunk=chunk),
@@ -501,6 +588,9 @@ def trace_nearest_mm2(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
             jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
         ],
+        # the (chunk, block) running-best planes + the (4*chunk, block)
+        # product push scoped VMEM past the 16M default
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(counts, lists[:, None, :], coef_c, phi)
     t = t.reshape(-1)[:n]
