@@ -249,8 +249,12 @@ def interpolate_fragments(best_idx, coef, tri_attrs):
 def _deferred_shade_compact(
     covered, best_z, normal, uv, color, shader_type, tex_id,
     geom, frame, height: int, width: int, active_types,
-    cap_frac: float = 0.25,
+    cap_frac: float = 0.1875,
 ):
+    # cap_frac: the demo scene peaks at 160/1024 live blocks (15.6%)
+    # across the rotation sweep; 0.1875 keeps a 20% margin and cuts the
+    # texture-gather width 25% vs the old 0.25. Overflow is still exact
+    # (cond fallback below).
     """Coverage-proportional deferred shading.
 
     The full-width epilogue is dominated by the per-pixel texture-atlas
