@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from software_rasterizer_tpu.ops import optics
 from software_rasterizer_tpu.ops.camera import camera_rays
 from software_rasterizer_tpu.ops.intersect import Hit, RTScene, nearest_hit
+from software_rasterizer_tpu.ops.path import compact_perm
 
 EPSILON = 1e-5  # Scene.hpp:160
 
@@ -124,25 +125,6 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
     return total / float(spp)
 
 
-def _compact(children: dict, capacity: int):
-    """Keep the first `capacity` live child rays (stable order) via the
-    O(n) cumsum/scatter partition (ops/path.compact_perm — an argsort
-    lowers to a bitonic sort network, ~10x the cost).
-
-    Returns (compacted, dropped): `dropped` counts live rays beyond
-    capacity — overflow accounting so a queue that silently sheds work is
-    DETECTED, never assumed negligible (VERDICT r1 "no silent caps")."""
-    from software_rasterizer_tpu.ops.path import compact_perm
-
-    perm, n_live = compact_perm(children["live"], capacity)
-    dropped = jnp.maximum(n_live - capacity, 0)
-    out = {k: v[perm] for k, v in children.items()}
-    out["live"] = out["live"] & (
-        jnp.arange(capacity, dtype=jnp.int32) < n_live
-    )
-    return out, dropped
-
-
 def _align_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -231,50 +213,73 @@ def whitted_trace(
         if depth == max_depth:
             break  # children would exceed depth cap -> contribute black
 
-        # specular branches
-        is_glass = live & hit.hit & (mat_type == 1)
-        is_mirror = live & hit.hit & (mat_type == 2)
-        ior = hit.ior
-        kr = jnp.clip(optics.fresnel(i_dir, nrm, ior), 0.0, 1.0)
-        refl_dir = optics.normalize(optics.reflect(i_dir, nrm))
-        refr_raw = optics.refract(i_dir, nrm, ior)
-        has_refr = (jnp.linalg.norm(refr_raw, axis=-1) > 1e-6) & (jnp.abs(kr - 1.0) > 1e-6)
-        refr_dir = optics.normalize(refr_raw, eps=1e-20)
-
-        idotn = jnp.sum(i_dir * nrm, axis=-1)
-        refl_off_glass = jnp.where(idotn[:, None] < 0, nrm, -nrm) * EPSILON
-        refr_off = jnp.where(idotn[:, None] > 0, nrm, -nrm) * EPSILON
-        rdotn = jnp.sum(refl_dir * nrm, axis=-1)
-        refl_off_mirror = jnp.where(rdotn[:, None] > 0, nrm, -nrm) * EPSILON
-
-        rid = rays["rid"]
-        child_reflect = {
-            "orig": hit.coords + jnp.where(is_glass[:, None], refl_off_glass, refl_off_mirror),
-            "dir": refl_dir,
-            "weight": weight * jnp.where(is_glass[:, None], kr[:, None], 1.0),
-            "pixel": pixel,
-            "rid": rid * 2 + 1,
-            "live": is_glass | is_mirror,
-        }
-        child_refract = {
-            "orig": hit.coords + refr_off,
-            "dir": refr_dir,
-            "weight": weight * (1.0 - kr)[:, None],
-            "pixel": pixel,
-            "rid": rid * 2 + 2,
-            "live": is_glass & has_refr,
-        }
-        children = {
-            k: jnp.concatenate([child_reflect[k], child_refract[k]])
-            for k in child_reflect
-        }
+        # specular branches: compact the SPECULAR PARENTS first, then
+        # build both children at the compacted width. This replaces the
+        # old build-2N-children-then-compact flow: the Fresnel/reflect/
+        # refract math, the six 2N-wide child arrays, and the 2N-lane
+        # compaction scan all shrink to cap/2 lanes (profiled ~12 ms of
+        # depth-0 fusions at 1024^2). Child math per lane is identical;
+        # only the queue ORDER differs (reflects then refracts instead
+        # of interleaved stable order) — radiance sums are unchanged up
+        # to f32 reassociation.
+        is_spec = live & hit.hit & ((mat_type == 1) | (mat_type == 2))
         cap_next = min(
             n * queue_factor,
-            children["live"].shape[0],
+            2 * cap,
             max(_align_up(int(n * queue_shrink ** (depth + 1)), 256), 1024),
         )
-        rays, drop = _compact(children, cap_next)
-        dropped = dropped + drop
+        half = cap_next // 2
+        perm, n_spec = compact_perm(is_spec, half)
+        # each dropped parent loses at most 2 child rays
+        dropped = dropped + 2 * jnp.maximum(n_spec - half, 0)
+        slot_ok = jnp.arange(half, dtype=jnp.int32) < n_spec
+
+        pf = jnp.concatenate([
+            hit.coords, rays["dir"], hit.normal, weight,
+            hit.ior[:, None],
+            hit.mat_type.astype(jnp.float32)[:, None],
+        ], axis=1)[perm]                                  # (half, 14)
+        p_pix = pixel[perm]
+        p_rid = rays["rid"][perm]
+        c_coords = pf[:, 0:3]
+        c_idir = pf[:, 3:6]
+        c_nrm = pf[:, 6:9]   # hit.normal is already unit length
+        c_w = pf[:, 9:12]
+        c_ior = pf[:, 12]
+        c_glass = jnp.round(pf[:, 13]).astype(jnp.int32) == 1
+
+        kr = jnp.clip(optics.fresnel(c_idir, c_nrm, c_ior), 0.0, 1.0)
+        refl_dir = optics.normalize(optics.reflect(c_idir, c_nrm))
+        refr_raw = optics.refract(c_idir, c_nrm, c_ior)
+        has_refr = (jnp.linalg.norm(refr_raw, axis=-1) > 1e-6) & (
+            jnp.abs(kr - 1.0) > 1e-6
+        )
+        refr_dir = optics.normalize(refr_raw, eps=1e-20)
+
+        idotn = jnp.sum(c_idir * c_nrm, axis=-1)
+        refl_off_glass = jnp.where(idotn[:, None] < 0, c_nrm, -c_nrm) * EPSILON
+        refr_off = jnp.where(idotn[:, None] > 0, c_nrm, -c_nrm) * EPSILON
+        rdotn = jnp.sum(refl_dir * c_nrm, axis=-1)
+        refl_off_mirror = jnp.where(rdotn[:, None] > 0, c_nrm, -c_nrm) * EPSILON
+
+        rays = {
+            "orig": jnp.concatenate([
+                c_coords + jnp.where(c_glass[:, None], refl_off_glass,
+                                     refl_off_mirror),
+                c_coords + refr_off,
+            ]),
+            "dir": jnp.concatenate([refl_dir, refr_dir]),
+            "weight": jnp.concatenate([
+                c_w * jnp.where(c_glass[:, None], kr[:, None], 1.0),
+                c_w * (1.0 - kr)[:, None],
+            ]),
+            "pixel": jnp.concatenate([p_pix, p_pix]),
+            "rid": jnp.concatenate([p_rid * 2 + 1, p_rid * 2 + 2]),
+            "live": jnp.concatenate([
+                slot_ok,
+                slot_ok & c_glass & has_refr,
+            ]),
+        }
 
     if with_stats:
         return img, {"dropped_rays": dropped}
