@@ -821,25 +821,27 @@ def _pt_kernel(scal_ref, seeds_ref, cam_ref, ecr_ref, tri_ref, attr_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "p_rr", "max_bounces",
-                     "o_pad", "block", "interpret"),
+                     "o_pad", "block", "interpret", "n_lanes"),
 )
 def fused_path_camera_render(scene, key, width: int, height: int,
                              fovy_deg: float, spp: int,
                              start_sample=0, lane_offset=0,
                              p_rr: float = 0.8, max_bounces: int = 16,
                              o_pad: int = None, block: int = 1024,
-                             interpret: bool = False):
+                             interpret: bool = False, n_lanes: int = None):
     """Render `spp` full path-tracing samples of the (width x height)
     camera frame in ONE kernel (grid over 1024-lane pixel blocks).
     Returns the UN-normalized radiance sum `acc (N, 3)` (divide by spp
     for the frame). `start_sample` keys the RNG streams for progressive
-    accumulation; `lane_offset` offsets absolute pixel ids for screen-
-    sharded meshes. Applicability mirrors `fused_bounce_group`
-    (untextured small scenes) plus: rays must be THE camera frame."""
-
+    accumulation; `lane_offset` + `n_lanes` restrict the program to a
+    contiguous pixel range (screen-sharded meshes: each device renders
+    [lane_offset, lane_offset + n_lanes) with ABSOLUTE pixel ids and the
+    same per-sample streams, so sharded == monolithic per sample).
+    Applicability mirrors `fused_bounce_group` (untextured small
+    scenes) plus: rays must be THE camera frame."""
     if o_pad is None:
         o_pad = scene.emitter_cr.shape[0]
-    n = width * height
+    n = width * height if n_lanes is None else n_lanes
     assert block % 128 == 0
     rows = block // 128
     nb = -(-n // block)

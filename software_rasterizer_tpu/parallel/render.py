@@ -39,7 +39,8 @@ def _replicated_specs(tree):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "rmesh", "width", "height", "spp", "p_rr", "max_bounces", "block", "chunk"
+        "rmesh", "width", "height", "spp", "p_rr", "max_bounces", "block",
+        "chunk", "fused",
     ),
 )
 def sharded_path_render(
@@ -54,14 +55,25 @@ def sharded_path_render(
     max_bounces: int = 16,
     block: int = 8192,
     chunk: int = 512,
+    fused=None,
 ):
     """Path-trace with lanes sharded over `tile` and the spp range over
     `spp`. Returns (H,W,3) mean radiance.
+
+    When the fused dispatch applies (TPU + small untextured scene; force
+    with `fused=True` for interpret-mode tests), each device runs the
+    persistent-wavefront camera kernel on its OWN pixel range
+    (lane_offset) and spp range (start_sample) — per-sample RNG streams
+    are keyed by absolute (pixel, sample), so any mesh shape reproduces
+    the monolithic fused render's per-sample radiance exactly (the spp
+    psum only changes f32 association).
 
     Constraints (static-shape sharding): spp % n_spp == 0 and the lane
     count width*height must divide evenly into n_tile * block-aligned
     shards (pad the framebuffer or pick block accordingly).
     """
+    from software_rasterizer_tpu.ops.path import _fused_auto
+
     mesh = rmesh.mesh
     n_spp, n_tile = rmesh.n_spp, rmesh.n_tile
     n = width * height
@@ -73,6 +85,7 @@ def sharded_path_render(
     spp_per = spp // n_spp
     if lanes_per % block and lanes_per > block:
         raise ValueError("block must divide the per-device lane count")
+    use_fused = _fused_auto(scene) if fused is None else fused
 
     orig, d = camera_rays(scene.eye, fovy, width, height)
 
@@ -86,6 +99,22 @@ def sharded_path_render(
     def run(sc, o_loc, d_loc):
         tile_i = jax.lax.axis_index("tile")
         spp_i = jax.lax.axis_index("spp")
+
+        if use_fused:
+            from software_rasterizer_tpu.ops.pallas_path import (
+                fused_path_camera_render,
+            )
+
+            acc = fused_path_camera_render(
+                sc, key, width, height, fovy, spp_per,
+                start_sample=spp_i * spp_per,
+                lane_offset=tile_i * lanes_per,
+                p_rr=p_rr, max_bounces=max_bounces,
+                n_lanes=lanes_per,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return jax.lax.psum(acc.T, "spp")
+
         # absolute block offset of this device's first lane (aligns the
         # per-block RNG keys with the monolithic blocked render)
         blk0 = tile_i * max(lanes_per // block, 1)

@@ -127,3 +127,26 @@ def test_whitted_sharded_multi_emitter_matches():
 
     u = np.array(lane_uniforms(key, jnp.arange(1024, dtype=jnp.int32), 0))
     assert 0.3 < (u < 0.5).mean() < 0.7 and np.unique(u).size > 1000
+
+
+def test_fused_camera_sharded_matches_monolithic():
+    """The persistent-wavefront camera kernel sharded over a
+    ("spp","tile") mesh must reproduce the monolithic fused render:
+    RNG streams are keyed by absolute (pixel, sample), so every
+    per-sample radiance value is identical — the spp psum only changes
+    f32 association (interpret mode on the CPU mesh)."""
+    scene = build_cornell_scene()
+    w = 16
+    scene.set_ndc_matrix(w, w)
+    rt = jax.tree_util.tree_map(
+        jnp.asarray, prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+    )
+    key = jax.random.PRNGKey(3)
+    mono = path_render(rt, w, w, scene.fovy, key, spp=4, max_bounces=6,
+                       fused=True)
+    m = make_render_mesh(n_spp=2, n_tile=4)
+    shard = sharded_path_render(rt, m, w, w, scene.fovy, key, spp=4,
+                                max_bounces=6, fused=True)
+    np.testing.assert_allclose(
+        np.array(shard), np.array(mono), rtol=3e-5, atol=1e-5
+    )
