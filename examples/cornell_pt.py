@@ -74,11 +74,20 @@ def main():
             acc = path_render_accumulate(
                 rt, o, dd, jax.random.fold_in(key, start),
                 jnp.zeros((count, 3)), 0, args.spp,
-                p_rr=scene.rr, block=min(count, 1 << 16),
+                p_rr=scene.rr, max_bounces=cfg.max_bounces,
+                block=min(count, 1 << 16),
             )
             return np.asarray(acc) / args.spp
 
-        runner = TileJobRunner(n, n // args.tiles)
+        # TileJobRunner needs tile_lanes | n_lanes: round the requested
+        # tile count to the nearest-from-below divisor of n
+        tiles = max(1, min(args.tiles, n))
+        while n % tiles:
+            tiles -= 1
+        if tiles != args.tiles:
+            print(f"# tiles {args.tiles} does not divide {n} lanes; "
+                  f"using {tiles}")
+        runner = TileJobRunner(n, n // tiles)
         img = runner.run(render_tile,
                          on_progress=lambda k, m: print(f"tile {k}/{m}"))
         render.frame = img.reshape(args.height, args.width, 3)

@@ -94,6 +94,12 @@ int32_t build(BuildCtx &c, int32_t *idxs, int32_t n) {
 
 extern "C" {
 
+// ABI version — bump on ANY signature/layout change (e.g. the r2 move
+// of srt_parse_obj outputs from float* to double*). The ctypes loader
+// refuses (and rebuilds) a library whose version doesn't match, so a
+// stale .so can never be called through a mismatched prototype.
+int32_t srt_abi_version(void) { return 2; }
+
 // Number of nodes the caller must allocate for n primitives.
 int32_t srt_bvh_node_count(int32_t n) { return n <= 0 ? 1 : 2 * n - 1; }
 

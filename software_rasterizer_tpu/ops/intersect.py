@@ -496,13 +496,33 @@ class ShadowHit(NamedTuple):
     emit: jnp.ndarray  # (N,3)
 
 
-def nearest_emit_hit(scene: RTScene, orig, d, chunk: int = 512) -> ShadowHit:
+def nearest_emit_hit(scene: RTScene, orig, d, chunk: int = 512,
+                     block: int = 8192) -> ShadowHit:
     """Nearest-hit with the MINIMAL epilogue: one 12-column row-gather
     ([v0|v1|v2|emit], prim_shadow) instead of the 40-column attribute
     join — shadow rays don't need normals, uv, materials, or textures.
     The exact winner t is still recomputed (_mt_uv) so the t^2-vs-dist^2
-    shadow acceptance matches the scalar oracle bit-for-bit."""
+    shadow acceptance matches the scalar oracle bit-for-bit.
+
+    On the XLA backend large ray sets are mapped over `block`-lane
+    blocks: the brute sweep materializes (rays x chunk) planes, so an
+    unblocked 1M-lane call would hold multi-GB intermediates (the Pallas
+    backends block internally and take the full wavefront)."""
     f_pad = scene.v0.shape[0]
+    n = orig.shape[0]
+    if _trace_backend(f_pad) == "xla" and n > block:
+        pad = (-n) % block
+        if pad:
+            orig = jnp.pad(orig, ((0, pad), (0, 0)))
+            d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        nb = (n + pad) // block
+        hits = jax.lax.map(
+            lambda od: nearest_emit_hit(scene, od[0], od[1], chunk, block),
+            (orig.reshape(nb, block, 3), d.reshape(nb, block, 3)),
+        )
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((nb * block,) + a.shape[2:])[:n], hits
+        )
     tri_hit, ti = _trace_tris(scene, orig, d, chunk)
     tidx = jnp.maximum(ti, 0)
     use_onehot = f_pad + scene.sph_c.shape[0] <= 1024

@@ -135,10 +135,13 @@ def _dual_trace(scal_ref, tri_ref, attr_ref, sph_ref, ox, oy, oz,
     n_sph = scal_ref[3]
     big = jnp.full(ox.shape, 1e30, jnp.float32)
     zero = jnp.zeros(ox.shape, jnp.float32)
+    # the B set also reports whether its winner is a SPHERE: spheres'
+    # Properties.color stays (0,0,0) in the reference (Object.hpp:36-40),
+    # so an emissive-sphere shading point must contribute BLACK, not Kd
 
     def tri_body(f, c):
         (tA, exA, eyA, ezA, nxA, nyA, nzA,
-         tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB) = c
+         tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB, sB) = c
         v0x = tri_ref[f, 0]
         v0y = tri_ref[f, 1]
         v0z = tri_ref[f, 2]
@@ -207,16 +210,18 @@ def _dual_trace(scal_ref, tri_ref, attr_ref, sph_ref, ox, oy, oz,
         exB = jnp.where(betB, attr_ref[f, 12], exB)
         eyB = jnp.where(betB, attr_ref[f, 13], eyB)
         ezB = jnp.where(betB, attr_ref[f, 14], ezB)
+        sB = jnp.where(betB, 0.0, sB)
         return (tA, exA, eyA, ezA, nxA, nyA, nzA,
-                tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB)
+                tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB, sB)
 
     init = (big, zero, zero, zero, zero, zero, zero,
-            big, zero, zero, zero, zero, zero, zero, zero, zero, zero)
+            big, zero, zero, zero, zero, zero, zero, zero, zero, zero,
+            zero)
     out = jax.lax.fori_loop(0, n_tri, tri_body, init)
 
     def sph_body(s, c):
         (tA, exA, eyA, ezA, nxA, nyA, nzA,
-         tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB) = c
+         tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB, sB) = c
         cx = sph_ref[s, 0]
         cy = sph_ref[s, 1]
         cz = sph_ref[s, 2]
@@ -272,16 +277,17 @@ def _dual_trace(scal_ref, tri_ref, attr_ref, sph_ref, ox, oy, oz,
         exB = jnp.where(bB, sph_ref[s, 4], exB)
         eyB = jnp.where(bB, sph_ref[s, 5], eyB)
         ezB = jnp.where(bB, sph_ref[s, 6], ezB)
+        sB = jnp.where(bB, 1.0, sB)
         return (tA, exA, eyA, ezA, nxA, nyA, nzA,
-                tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB)
+                tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB, sB)
 
     out = jax.lax.fori_loop(0, n_sph, sph_body, out)
     (tA, exA, eyA, ezA, nxA, nyA, nzA,
-     tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB) = out
+     tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB, sB) = out
     return (
         {"t": tA, "emit": (exA, eyA, ezA), "nrm": (nxA, nyA, nzA)},
         {"t": tB, "nrm": (nxB, nyB, nzB), "kd": (kxB, kyB, kzB),
-         "emit": (exB, eyB, ezB)},
+         "emit": (exB, eyB, ezB), "is_sphere": sB},
     )
 
 
@@ -434,7 +440,12 @@ def _bounce_kernel(scal_ref, ecr_ref, tri_ref, attr_ref, sph_ref,
         kB = nxt["kd"]
         kx, ky, kz = kB[0], kB[1], kB[2]
         ex, ey, ez = neB[0], neB[1], neB[2]
-        cx_, cy_, cz_ = kB[0], kB[1], kB[2]   # untextured: color == Kd
+        # untextured: color == Kd for triangles; SPHERE winners keep the
+        # reference's Properties.color = (0,0,0) quirk (Object.hpp:36-40)
+        isphB = nxt["is_sphere"] > 0.5
+        cx_ = jnp.where(isphB, 0.0, kB[0])
+        cy_ = jnp.where(isphB, 0.0, kB[1])
+        cz_ = jnp.where(isphB, 0.0, kB[2])
 
     for i, v in enumerate([px, py, pz, nx, ny, nz, kx, ky, kz,
                            ex, ey, ez, cx_, cy_, cz_, tx_, ty_, tz_]):
@@ -793,12 +804,19 @@ def _pt_kernel(scal_ref, seeds_ref, cam_ref, ecr_ref, tri_ref, attr_ref,
         kB = nxt["kd"]
         nB = nxt["nrm"]
         nxn, nyn, nzn = _norm3(nB[0], nB[1], nB[2], 1e-20)
+        # untextured: color == Kd for triangles; SPHERE winners keep the
+        # reference's Properties.color = (0,0,0) quirk (Object.hpp:36-40)
+        # — a primary (restart) hit on an emissive SPHERE must shade
+        # black, exactly like nearest_hit's color join
+        isphB = nxt["is_sphere"] > 0.5
         st_n = (
             ox + bxd * tB, oy + byd * tB, oz + bzd * tB,
             nxn, nyn, nzn,
             kB[0], kB[1], kB[2],
             neB[0], neB[1], neB[2],
-            kB[0], kB[1], kB[2],          # untextured: color == Kd
+            jnp.where(isphB, 0.0, kB[0]),
+            jnp.where(isphB, 0.0, kB[1]),
+            jnp.where(isphB, 0.0, kB[2]),
             tx_n, ty_n, tz_n,
         )
         st_n = tuple(

@@ -64,7 +64,7 @@ def bin_triangles(tri_bbox, keep, gh: int, gw: int, tile_h: int,
     lists = jnp.zeros((t, cap), jnp.int32)
     src = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[None, :], (t, f))
     lists = jax.vmap(
-        lambda l, tg, s: l.at[tg].set(s, mode="drop", unique_indices=True)
+        lambda l, tg, s: l.at[tg].set(s, mode="drop")
     )(lists, tgt, src)
     counts = jnp.minimum(n_ov, cap)
     dropped = jnp.sum(jnp.maximum(n_ov - cap, 0))

@@ -559,7 +559,7 @@ def trace_nearest_mm2(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
             jnp.arange(nc, dtype=jnp.int32)[None, :], (nb, nc)
         )
         lists = jax.vmap(
-            lambda l, tg, s: l.at[tg].set(s, mode="drop", unique_indices=True)
+            lambda l, tg, s: l.at[tg].set(s, mode="drop")
         )(lists, tgt, src)
     else:
         counts = jnp.full((nb,), nc, jnp.int32)

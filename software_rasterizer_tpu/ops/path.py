@@ -99,17 +99,16 @@ def compact_perm(live, cap: int):
     perm = jnp.zeros((cap,), jnp.int32)
     tgt = jnp.where(live, pos, cap)  # dead lanes scatter out of range
     perm = perm.at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
     return perm, n_live
 
 
 def _fused_auto(scene: RTScene) -> bool:
     """Static dispatch for the fused bounce kernel (ops/pallas_path):
-    TPU backend + small primitive tables. NOTE the fused kernel treats
-    hit color as Kd (untextured scenes — true of every path-traced
-    reference workload); pass fused=False explicitly for textured
-    emitters."""
+    TPU backend + small UNTEXTURED primitive tables (the fused kernel
+    treats hit color as Kd; textured scenes are detected by atlas shape
+    and fall back to the XLA wavefront)."""
     import os
 
     flag = os.environ.get("SRT_FUSED_PATH", "auto")
@@ -126,6 +125,10 @@ def _fused_auto(scene: RTScene) -> bool:
         and scene.v0.shape[0] <= 512
         and scene.sph_c.shape[0] <= 64
         and scene.emitter_cr.shape[0] <= 8
+        # untextured scenes carry a (1,1,1,3) dummy atlas — a real atlas
+        # (any texture bound anywhere) disables the fused kernel, whose
+        # hit color is Kd (static shape check, so it works under jit)
+        and scene.textures.size <= 3
     )
 
 

@@ -330,7 +330,7 @@ def _deferred_shade_compact(
 
     out_b = jnp.zeros((nb, bh, bw, 3))
     tgt = jnp.where(slot_ok, perm, nb)            # dead slots scatter out
-    out_b = out_b.at[tgt].set(rgb_c, mode="drop", unique_indices=True)
+    out_b = out_b.at[tgt].set(rgb_c, mode="drop")
     img = (
         out_b.reshape(gby, gbx, bh, bw, 3)
         .transpose(0, 2, 1, 3, 4)
@@ -403,7 +403,8 @@ def face_cull_mask(tri_pos, eye, face_valid):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile", "chunk", "cull", "active_types"),
+    static_argnames=("height", "width", "tile", "chunk", "cull",
+                     "active_types", "with_stats"),
 )
 def render_raster_frame(
     geom,
@@ -414,9 +415,14 @@ def render_raster_frame(
     chunk: int = 512,
     cull: bool = True,
     active_types=None,
+    with_stats: bool = False,
 ):
     """Full raster pipeline: vertex stage -> coverage/z resolve -> deferred
-    fragment shading. Returns (image (H,W,3) f32 in [0,1] pre-clamp, zbuf).
+    fragment shading. Returns (image (H,W,3) f32 in [0,1] pre-clamp, zbuf),
+    or (image, zbuf, stats) when `with_stats` — stats["bin_dropped"] counts
+    triangles dropped by the Pallas backend's per-tile binning cap (always
+    0 on the XLA backend), so a scene that exceeds the cap is DETECTED,
+    never silently missing geometry.
 
     geom: models.scene.RasterGeometry; frame: models.scene.RasterFrame.
     `active_types`: static tuple of the ShaderType values used by the
@@ -460,6 +466,7 @@ def render_raster_frame(
             interpret=jax.default_backend() != "tpu",
         )
         best_idx, best_z = r["best_idx"], r["best_z"]
+        bin_dropped = r["bin_dropped"]
         covered = best_idx >= 0
         normal, uv, color = r["normal"], r["uv"], r["color"]
         shader_type, tex_id = r["shader_type"], r["tex_id"]
@@ -468,7 +475,10 @@ def render_raster_frame(
                 covered, best_z, normal, uv, color, shader_type, tex_id,
                 geom, frame, height, width, active_types,
             )
-            return image, jnp.where(covered, best_z, INF)
+            zb = jnp.where(covered, best_z, INF)
+            if with_stats:
+                return image, zb, {"bin_dropped": bin_dropped}
+            return image, zb
     else:
         best_idx, best_z = rasterize_tiles(
             coef, zrow, keep, height, width, tile, chunk, tri_bbox
@@ -521,6 +531,13 @@ def render_raster_frame(
     )
     image = jnp.where(covered[..., None], rgb, 0.0)
     zbuf = jnp.where(covered, best_z, INF)
+    if with_stats:
+        # XLA backends bin nothing; the Pallas non-compact epilogue path
+        # reports the kernel's counter
+        bd = bin_dropped if _raster_backend() == "pallas" else jnp.zeros(
+            (), jnp.int32
+        )
+        return image, zbuf, {"bin_dropped": bd}
     return image, zbuf
 
 

@@ -56,6 +56,39 @@ def load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(path)
     except OSError:
         return None
+    # ABI guard: a stale .so (e.g. built before the f64 OBJ outputs)
+    # would be called through mismatched prototypes and return garbage
+    # geometry with rc=0. Rebuild once on mismatch; refuse if still off.
+    ABI = 2
+    try:
+        lib.srt_abi_version.restype = ctypes.c_int32
+        lib.srt_abi_version.argtypes = []
+        ver = int(lib.srt_abi_version())
+    except AttributeError:
+        ver = -1
+    if ver != ABI:
+        try:
+            os.remove(path)
+        except OSError:
+            return None
+        _try_build(path)
+        # dlopen caches by pathname and the stale handle is still open,
+        # so load the rebuilt library through a unique temp copy
+        import shutil
+        import tempfile
+
+        try:
+            with tempfile.NamedTemporaryFile(
+                suffix=".so", delete=False
+            ) as tmp:
+                shutil.copyfile(path, tmp.name)
+            lib = ctypes.CDLL(tmp.name)
+            lib.srt_abi_version.restype = ctypes.c_int32
+            lib.srt_abi_version.argtypes = []
+            if int(lib.srt_abi_version()) != ABI:
+                return None
+        except (OSError, AttributeError):
+            return None
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.srt_bvh_node_count.restype = ctypes.c_int32

@@ -313,7 +313,10 @@ def _scan_obj_python(text: str):
             uvs_in.append(tuple(float(v) for v in vals[:2]))
         elif key == "f":
             corners = []
-            for tok in vals:
+            # same 64-vertex face cap as the native scanner
+            # (native/srt_native.cpp fill buffer), so both paths parse
+            # identical geometry for pathological polygon faces
+            for tok in vals[:64]:
                 fields = tok.split("/")
                 vi = int(fields[0])
                 ti = int(fields[1]) if len(fields) > 1 and fields[1] else 0

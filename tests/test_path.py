@@ -289,3 +289,34 @@ def test_fused_bounce_group_statistics(cornell_rt):
     bm = float(jnp.mean(jnp.clip(base, 0, 1)))
     fm = float(jnp.mean(jnp.clip(fused, 0, 1)))
     assert abs(bm - fm) / bm < 0.12, (bm, fm)
+
+
+def test_fused_kernel_emissive_sphere_primary_is_black():
+    """Primary hits on an emissive SPHERE shade as Properties.color =
+    (0,0,0) (the reference's sphere-color quirk, Object.hpp:36-40) — the
+    fused kernels must reproduce it, not substitute the sphere's Kd
+    (code-review r2 finding)."""
+    from software_rasterizer_tpu.models import (
+        Material, MaterialType, SphereLight,
+    )
+    from software_rasterizer_tpu.models.scene import Scene as SceneCls
+
+    sc = SceneCls("spherelight", eye=(0.0, 0.0, -0.9))
+    lm = Material(type=MaterialType.DIFFUSE_AND_GLOSSY, Kd=(1.0, 0.3, 0.2),
+                  emission=(30.0, 30.0, 30.0))
+    sc.add_graphic_obj(
+        SphereLight((0.0, 0.0, 50.0), (1.0,) * 3, 20.0, lm), "light"
+    )
+    sc.set_ndc_matrix(16, 16)
+    rt = jax.tree_util.tree_map(
+        jnp.asarray, prepare_rt_scene(sc.rt_geometry(), sc.rt_frame())
+    )
+    img_f = np.asarray(path_render(rt, 16, 16, sc.fovy, jax.random.PRNGKey(0),
+                                   spp=4, max_bounces=4, fused=True))
+    img_x = np.asarray(path_render(rt, 16, 16, sc.fovy, jax.random.PRNGKey(0),
+                                   spp=4, max_bounces=4, fused=False))
+    # the light disk covers the image center; both backends must agree
+    # it is BLACK (sphere color quirk), not the sphere's Kd
+    c = img_f[7, 7], img_x[7, 7]
+    np.testing.assert_allclose(c[0], c[1], atol=1e-5)
+    assert np.abs(c[1]).max() < 1e-5, c
