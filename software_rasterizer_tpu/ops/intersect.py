@@ -41,9 +41,12 @@ BIG = jnp.float32(1e30)
 #   <= MM_TRACE_MAX_TRIS: chunk-culled MXU matmul kernel (mm2) —
 #       per-ray-block slab culling over BVH-ordered 128-tri chunks,
 #       whole coefficient table VMEM-resident, HIGHEST precision
-#       matmuls (Mosaic rejects the 3-pass bf16 HIGH mode).
-#   above: chunk-culled XLA sweep (the mm2 coefficient table no longer
-#       fits VMEM; the XLA path streams chunks with lax.cond skips).
+#       matmuls (Mosaic rejects 3-pass bf16 HIGH). The kernel's cull
+#       mask supports 1024 chunks (128K tris), but measured crossover
+#       vs the blocked XLA sweep is ~16-20K tris (mm2 68 ms == XLA
+#       70 ms per 262K rays at 20K tris on v5e) and the Mosaic compile
+#       of the 622-chunk variant fails — the tier stays at the proven
+#       16K. Above it the blocked XLA sweep wins anyway.
 #   SRT_MM_TRACE=1 forces the UNCULLED mm kernel (benchmarks/tests).
 VPU_TRACE_MAX_TRIS = 1024
 MM_TRACE_MAX_TRIS = 16384

@@ -387,9 +387,12 @@ def _cull_prepass_kernel(cab_ref, o_ref, d_ref, m_ref, *, nc: int):
     ix = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     iy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
     iz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+    # the mask plane holds up to 8*128 = 1024 chunk bits: bit c lives at
+    # (c // 128, c % 128)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    row = jnp.zeros((8, 128), jnp.int32)
-    for c in range(nc):
+
+    def body(c, row):
         t0 = (cab_ref[c, 0] - ox) * ix
         t1 = (cab_ref[c, 3] - ox) * ix
         tmin = jnp.minimum(t0, t1)
@@ -403,8 +406,10 @@ def _cull_prepass_kernel(cab_ref, o_ref, d_ref, m_ref, *, nc: int):
         tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
         tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
         hit = jnp.any(tmax >= jnp.maximum(tmin, 0.0))
-        row = jnp.where((lane == c) & hit, 1, row)
-    m_ref[0] = row
+        sel = (sub == c // 128) & (lane == c % 128)
+        return jnp.where(sel & hit, 1, row)
+
+    m_ref[0] = jax.lax.fori_loop(0, nc, body, jnp.zeros((8, 128), jnp.int32))
 
 
 def _cull_prepass(chunk_lo, chunk_hi, orig, d, block: int,
@@ -412,7 +417,7 @@ def _cull_prepass(chunk_lo, chunk_hi, orig, d, block: int,
     """(nb, nc) bool per-block chunk overlap via the Pallas kernel.
     orig/d must already be padded to nb*block rows."""
     nc = chunk_lo.shape[0]
-    assert nc <= 128, nc
+    assert nc <= 1024, nc
     n = orig.shape[0]
     nb = n // block
     rows = block // 128
@@ -434,7 +439,7 @@ def _cull_prepass(chunk_lo, chunk_hi, orig, d, block: int,
         out_shape=jax.ShapeDtypeStruct((nb, 8, 128), jnp.int32),
         interpret=interpret,
     )(cab, oc, dc)
-    return m[:, 0, :nc] != 0
+    return m.reshape(nb, 1024)[:, :nc] != 0
 
 
 def _trace_kernel2(cnt_ref, lst_ref, coef_ref, phi_ref, t_ref, f_ref, *,
