@@ -81,19 +81,40 @@ class PathTracing(RenderingPipeline):
     # -- progressive / resumable accumulation (SURVEY.md 5.4) ---------------
 
     def accumulate(self, scene_name: str, n_samples: int):
-        """Add `n_samples` fresh per-pixel samples to the running sum."""
+        """Add `n_samples` fresh per-pixel samples to the running sum.
+
+        The pipeline renders THE camera frame, so when the fused dispatch
+        applies (TPU + small untextured scene) the batch runs through the
+        persistent-wavefront camera kernel with start_sample = samples
+        done — per-sample RNG streams are keyed by absolute (pixel,
+        sample), so progressive/resumed accumulation reproduces the
+        monolithic fused render's per-sample radiance exactly."""
+        from software_rasterizer_tpu.ops.path import _fused_auto
+
         scene = self.scenes[scene_name]
         rt = self._rt_scene(scene)
         acc, done = self._accum.get(
             scene_name,
             (jax.numpy.zeros((self.width * self.height, 3)), 0),
         )
-        orig, d = camera_rays(rt.eye, scene.fovy, self.width, self.height)
-        acc = path_render_accumulate(
-            rt, orig, d, make_key(self.seed), acc, done, n_samples,
-            p_rr=scene.rr, max_bounces=self.max_bounces,
-            block=self.block, chunk=self.chunk,
-        )
+        if _fused_auto(rt):
+            from software_rasterizer_tpu.ops.pallas_path import (
+                fused_path_camera_render,
+            )
+
+            a = fused_path_camera_render(
+                rt, make_key(self.seed), self.width, self.height,
+                scene.fovy, n_samples, start_sample=done,
+                p_rr=scene.rr, max_bounces=self.max_bounces,
+            )
+            acc = acc + a.T
+        else:
+            orig, d = camera_rays(rt.eye, scene.fovy, self.width, self.height)
+            acc = path_render_accumulate(
+                rt, orig, d, make_key(self.seed), acc, done, n_samples,
+                p_rr=scene.rr, max_bounces=self.max_bounces,
+                block=self.block, chunk=self.chunk,
+            )
         self._accum[scene_name] = (acc, done + n_samples)
 
     def samples_done(self, scene_name: str) -> int:
