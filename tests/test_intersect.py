@@ -275,3 +275,42 @@ def test_trace_nearest_mm2_matches_brute(monkeypatch):
     hit1 = jnp.asarray(i1) >= 0
     assert (np.asarray(hit1) == np.asarray(hit2)).all()
     assert (np.asarray(i1) == np.asarray(i2)).all()
+
+
+def test_trace_nearest_mm2_many_chunks():
+    """Exercise the cull-mask plane ABOVE 128 chunks (bit c lives at
+    (c // 128, c % 128) of the (8,128) mask): 160 chunks of 16 triangles
+    must still match the brute sweep exactly in interpret mode."""
+    import numpy as np
+
+    from software_rasterizer_tpu.ops.pallas_trace import (
+        chunk_bounds, mt_tri_coef, trace_nearest_mm2,
+    )
+
+    rng = np.random.RandomState(11)
+    F, N = 16 * 160, 256  # 160 chunks at chunk=16
+    # spread clusters along x so chunk AABBs are tight and culling real
+    centers = rng.rand(F, 1, 3) * np.array([40.0, 2.0, 2.0]) - 1.0
+    tri = centers + rng.rand(F, 3, 3) * 0.4
+    v0 = jnp.asarray(tri[:, 0], jnp.float32)
+    v1 = jnp.asarray(tri[:, 1], jnp.float32)
+    v2 = jnp.asarray(tri[:, 2], jnp.float32)
+    valid = jnp.asarray(rng.rand(F) > 0.05)
+    orig = jnp.asarray(
+        rng.rand(N, 3) * np.array([40.0, 1.0, 1.0]) - np.array([0.0, 0.0, 4.0]),
+        jnp.float32,
+    )
+    d = jnp.asarray(rng.rand(N, 3) * 0.2 + np.array([0.0, 0.0, 1.0]), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    coef = mt_tri_coef(v0, v1, v2, valid)
+    lo, hi = chunk_bounds(v0, v1, v2, valid, 16)
+    assert lo.shape[0] == 160
+    hit2, i2 = trace_nearest_mm2(
+        coef, lo, hi, orig, d, chunk=16, block=256, interpret=True
+    )
+    hit1, i1, _, _ = intersect_triangles(orig, d, v0, v1, v2, valid, chunk=64)
+    hit1 = jnp.asarray(i1) >= 0
+    assert (np.asarray(hit1) == np.asarray(hit2)).all()
+    assert (np.asarray(i1) == np.asarray(i2)).all()
+    assert int(np.asarray(hit1).sum()) > 0
