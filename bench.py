@@ -179,8 +179,12 @@ def bench_whitted(width, height, repeats):
         def body(carry, fr):
             fr = fr._replace(mvp=fr.mvp + carry)
             rt = prepare_rt_scene(geom, fr)
+            # spp=16 = the reference RayTracing pipeline's default
+            # (RayTracing.hpp:12). The integrator regroups the spp
+            # emitter picks by distinct emitter (ops/whitted), so the
+            # demo scene (one emitter) pays ONE shadow trace per depth.
             img = whitted_render(rt, width, height, scene.fovy, make_key(0),
-                                 spp=1, max_depth=scene.max_depth)
+                                 spp=16, max_depth=scene.max_depth)
             return img[0, 0, 0] * 0.0, img[0, 0, 0]
         _, checks = jax.lax.scan(body, jnp.float32(0.0), st)
         return checks
@@ -200,7 +204,7 @@ def bench_whitted(width, height, repeats):
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 10.0, 3),
-        "config": f"{width}x{height} main.cpp demo scene",
+        "config": f"{width}x{height} main.cpp demo scene, spp=16",
         "device": str(jax.devices()[0]),
         "render_s": round(best, 3),
         "methodology": "on-device sequential chain incl. per-frame scene "

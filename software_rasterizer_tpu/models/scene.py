@@ -273,7 +273,12 @@ class Scene:
             wh = np.array([[1, 1]], np.int32)
             return atlas, wh, ids
         hm = max(t.height for t in texs)
-        wm = max(t.width for t in texs)
+        # wm >= 2 keeps a REAL atlas statically distinguishable from the
+        # no-texture (1,1,1,3) dummy (ops/path._fused_auto dispatches the
+        # fused kernel on atlas size; a real 1x1 texture must not alias
+        # the dummy). tex_wh still records true extents, so fetches clamp
+        # to the real texels and never read the pad column.
+        wm = max(max(t.width for t in texs), 2)
         atlas = np.zeros((len(texs), hm, wm, 3), np.uint8)
         wh = np.zeros((len(texs), 2), np.int32)
         for i, t in enumerate(texs):

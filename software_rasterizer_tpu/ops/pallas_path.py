@@ -860,6 +860,11 @@ def fused_path_camera_render(scene, key, width: int, height: int,
     if o_pad is None:
         o_pad = scene.emitter_cr.shape[0]
     n = width * height if n_lanes is None else n_lanes
+    # the kernel's per-sample seed select is unrolled O(spp) inside the
+    # bounce loop; callers batch larger sample counts over start_sample
+    # (ops/path.path_render, render/pathtracer.py) instead of growing
+    # the kernel body
+    assert spp <= 256, "batch large spp over start_sample calls"
     assert block % 128 == 0
     rows = block // 128
     nb = -(-n // block)

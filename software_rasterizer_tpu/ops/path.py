@@ -125,9 +125,11 @@ def _fused_auto(scene: RTScene) -> bool:
         and scene.v0.shape[0] <= 512
         and scene.sph_c.shape[0] <= 64
         and scene.emitter_cr.shape[0] <= 8
-        # untextured scenes carry a (1,1,1,3) dummy atlas — a real atlas
-        # (any texture bound anywhere) disables the fused kernel, whose
-        # hit color is Kd (static shape check, so it works under jit)
+        # untextured scenes carry a (1,1,1,3) dummy atlas; a REAL atlas
+        # is always larger (Scene._texture_atlas pads width to >= 2
+        # precisely so a 1x1 texture cannot alias the dummy) and
+        # disables the fused kernel, whose hit color is Kd (static
+        # shape check, so it works under jit)
         and scene.textures.size <= 3
     )
 
@@ -379,11 +381,21 @@ def path_render(
             fused_path_camera_render,
         )
 
-        acc = fused_path_camera_render(
-            scene, key, width, height, fovy, spp, p_rr=p_rr,
-            max_bounces=max_bounces,
-            interpret=jax.default_backend() != "tpu",
-        )
+        # the kernel selects each lane's per-sample seed with an
+        # O(spp)-unrolled chain, so one call's spp is capped and larger
+        # requests loop over start_sample batches — per-sample streams
+        # are keyed by absolute sample index (fold_in(key, s)), so the
+        # batched sum is the monolithic render up to f32 reassociation
+        # of the batch partial sums
+        batch = 64
+        acc = None
+        for s0 in range(0, spp, batch):
+            a = fused_path_camera_render(
+                scene, key, width, height, fovy, min(batch, spp - s0),
+                start_sample=s0, p_rr=p_rr, max_bounces=max_bounces,
+                interpret=jax.default_backend() != "tpu",
+            )
+            acc = a if acc is None else acc + a
         return (acc.T / float(spp)).reshape(height, width, 3)
 
     orig, d = camera_rays(scene.eye, fovy, width, height)

@@ -91,18 +91,31 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
     `spp` emitter picks (identical picks when one emitter exists, matching
     the reference's deterministic resampling loop).
 
+    The spp loop in the reference only varies the EMITTER PICK — given
+    the pick, sampleLightOnCenter aims at the emitter's bbox-sphere
+    CENTER and the Phong term is deterministic (Scene.cpp:398-427,
+    512-574). So the sample sum regroups exactly by distinct emitter:
+        sum_s v(pick_s)  ==  sum_o count_o * v(o)
+    and the trace count drops from `spp` to the number of emitters a
+    lane population actually picked (lax.cond skips unpicked ones). At
+    the reference's default spp=16 with one emitter: ONE shadow trace
+    instead of 16, identical math per lane (count*v vs repeated-add
+    only differ in f32 rounding of the multiply).
+
     Takes the shading-point fields explicitly (coords/nrm/color/mat) so
     callers can COMPACT to the diffuse-hit lanes first; shadow rays use
     the emit-only epilogue (nearest_emit_hit) — visibility needs neither
     normals nor materials of the blocker."""
     from software_rasterizer_tpu.ops.intersect import nearest_emit_hit
+    from software_rasterizer_tpu.utils.rng import lane_uniforms
 
     n = coords.shape[0]
     if rid is None:
         rid = jnp.arange(n, dtype=jnp.int32)
-    total = jnp.zeros((n, 3))
-    for s in range(spp):
-        center, any_emitter = _pick_emitter_center(scene, key, rid, s)
+    any_emitter = scene.n_emitters > 0
+
+    def eval_toward(center):
+        """v(o): the deterministic Phong direct term toward `center`."""
         l = optics.normalize(center - coords)
         shadow = nearest_emit_hit(scene, coords, l, chunk)
         lit = shadow.hit & (jnp.linalg.norm(shadow.emit, axis=-1) >= EPSILON) & any_emitter
@@ -121,7 +134,38 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
         ka = scene.mat_ka[mat]
         ks = scene.mat_ks[mat]
         v = ambient * ka + color * diffuse + specular * ks
-        total = total + jnp.where(lit[:, None], v, 0.0)
+        return jnp.where(lit[:, None], v, 0.0)
+
+    if spp == 1:
+        center, _ = _pick_emitter_center(scene, key, rid, 0)
+        return eval_toward(center)
+
+    # per-sample picks (pure VPU math, no traces) — identical streams to
+    # _pick_emitter_center(salt=s)
+    n_e_f = jnp.maximum(scene.n_emitters, 1).astype(jnp.float32)
+    o_cap = scene.emitter_cr.shape[0]
+    oi = jnp.arange(o_cap, dtype=jnp.int32)[None, :]
+    counts = jnp.zeros((n, o_cap), jnp.float32)
+    for s in range(spp):
+        u = lane_uniforms(key, rid, s)
+        k = jnp.minimum(
+            jnp.floor(u * n_e_f).astype(jnp.int32),
+            jnp.maximum(scene.n_emitters - 1, 0),
+        )
+        counts = counts + (k[:, None] == oi).astype(jnp.float32)
+
+    total = jnp.zeros((n, 3))
+    for o in range(o_cap):
+        c_o = counts[:, o]
+        picked = jnp.any(c_o > 0) & (o < jnp.maximum(scene.n_emitters, 1))
+        total = total + jax.lax.cond(
+            picked,
+            lambda _: c_o[:, None] * eval_toward(
+                jnp.broadcast_to(scene.emitter_cr[o, 0:3], (n, 3))
+            ),
+            lambda _: jnp.zeros((n, 3)),
+            None,
+        )
     return total / float(spp)
 
 
@@ -153,11 +197,15 @@ def whitted_trace(
 
     Child queues shrink geometrically: depth d's capacity is
     min(n * queue_factor, n * queue_shrink**d) lanes (aligned up, floor
-    1024). Only specular (glass/mirror) hits spawn children, so the live
-    population collapses after depth 1 for typical scenes; compaction
-    sorts live lanes first, and overflow beyond capacity is COUNTED in
-    stats["dropped_rays"] (never silent). Set queue_shrink=1.0 for the
-    reference's full-width lossless behavior."""
+    1024). Only specular (glass/mirror) hits spawn children — glass
+    parents take 2 slots (reflect + refract), mirrors exactly 1 — so the
+    live population collapses after depth 1 for typical scenes; slots
+    are allocated by an exact per-parent child count (cumsum + scatter),
+    and each child ray lost to overflow is COUNTED in
+    stats["dropped_rays"] (never silent). queue_shrink=1.0 disables the
+    geometric schedule (capacity doubles per depth up to
+    n * queue_factor); combined with queue_factor >= 2**max_depth this
+    reproduces the reference's full binary recursion tree losslessly."""
     n = orig.shape[0]
     img = jnp.zeros((n, 3))
     dropped = jnp.zeros((), jnp.int32)
@@ -213,34 +261,56 @@ def whitted_trace(
         if depth == max_depth:
             break  # children would exceed depth cap -> contribute black
 
-        # specular branches: compact the SPECULAR PARENTS first, then
-        # build both children at the compacted width. This replaces the
-        # old build-2N-children-then-compact flow: the Fresnel/reflect/
-        # refract math, the six 2N-wide child arrays, and the 2N-lane
-        # compaction scan all shrink to cap/2 lanes (profiled ~12 ms of
-        # depth-0 fusions at 1024^2). Child math per lane is identical;
-        # only the queue ORDER differs (reflects then refracts instead
-        # of interleaved stable order) — radiance sums are unchanged up
-        # to f32 reassociation.
+        # specular branches: allocate child-queue slots by EXACT child
+        # count per parent — glass (REFLECTION_AND_REFRACTION) parents
+        # take 2 slots (reflect + refract), mirror (REFLECTION) parents
+        # take 1 (reflect only) — via a cumsum of per-parent counts and
+        # two scatters (the counted generalization of compact_perm).
+        # Unlike the previous fixed-2-slots-per-parent layout, a
+        # mirror-heavy frame wastes no capacity on dead refract slots,
+        # and `dropped` counts exactly the child RAYS lost to overflow.
+        # The Fresnel/reflect/refract math runs once at queue width with
+        # per-slot selects; per-lane values are identical to the old
+        # two-half layout — only the queue ORDER differs (per-parent
+        # interleaved instead of reflects-then-refracts), which never
+        # changes radiance sums beyond f32 reassociation.
         is_spec = live & hit.hit & ((mat_type == 1) | (mat_type == 2))
-        cap_next = min(
-            n * queue_factor,
-            2 * cap,
-            max(_align_up(int(n * queue_shrink ** (depth + 1)), 256), 1024),
+        is_glass = is_spec & (mat_type == 1)
+        # queue_shrink >= 1.0 disables the geometric schedule entirely:
+        # capacity then doubles per depth up to n*queue_factor, so
+        # queue_factor >= 2**max_depth reproduces the reference's full
+        # binary recursion tree losslessly
+        geo_cap = (
+            n * queue_factor
+            if queue_shrink >= 1.0
+            else max(_align_up(int(n * queue_shrink ** (depth + 1)), 256), 1024)
         )
-        half = cap_next // 2
-        perm, n_spec = compact_perm(is_spec, half)
-        # each dropped parent loses at most 2 child rays
-        dropped = dropped + 2 * jnp.maximum(n_spec - half, 0)
-        slot_ok = jnp.arange(half, dtype=jnp.int32) < n_spec
+        cap_next = min(n * queue_factor, 2 * cap, geo_cap)
+        cnt = jnp.where(is_spec, jnp.where(is_glass, 2, 1), 0)
+        start = jnp.cumsum(cnt) - cnt
+        n_child = jnp.sum(cnt)
+        dropped = dropped + jnp.maximum(n_child - cap_next, 0)
+        lanes = jnp.arange(cap, dtype=jnp.int32)
+        oob = jnp.int32(cap_next)
+        tgt_refl = jnp.where(is_spec, jnp.minimum(start, oob), oob)
+        tgt_refr = jnp.where(is_glass, jnp.minimum(start + 1, oob), oob)
+        slot_parent = jnp.zeros((cap_next,), jnp.int32)
+        slot_parent = slot_parent.at[tgt_refl].set(lanes, mode="drop")
+        slot_parent = slot_parent.at[tgt_refr].set(lanes, mode="drop")
+        slot_refr = jnp.zeros((cap_next,), jnp.bool_).at[tgt_refr].set(
+            True, mode="drop"
+        )
+        slot_ok = jnp.arange(cap_next, dtype=jnp.int32) < jnp.minimum(
+            n_child, cap_next
+        )
 
         pf = jnp.concatenate([
             hit.coords, rays["dir"], hit.normal, weight,
             hit.ior[:, None],
             hit.mat_type.astype(jnp.float32)[:, None],
-        ], axis=1)[perm]                                  # (half, 14)
-        p_pix = pixel[perm]
-        p_rid = rays["rid"][perm]
+        ], axis=1)[slot_parent]                           # (cap_next, 14)
+        p_pix = pixel[slot_parent]
+        p_rid = rays["rid"][slot_parent]
         c_coords = pf[:, 0:3]
         c_idir = pf[:, 3:6]
         c_nrm = pf[:, 6:9]   # hit.normal is already unit length
@@ -262,23 +332,17 @@ def whitted_trace(
         rdotn = jnp.sum(refl_dir * c_nrm, axis=-1)
         refl_off_mirror = jnp.where(rdotn[:, None] > 0, c_nrm, -c_nrm) * EPSILON
 
+        refl_off = jnp.where(c_glass[:, None], refl_off_glass,
+                             refl_off_mirror)
+        refl_w = jnp.where(c_glass, kr, 1.0)
+        sr = slot_refr[:, None]
         rays = {
-            "orig": jnp.concatenate([
-                c_coords + jnp.where(c_glass[:, None], refl_off_glass,
-                                     refl_off_mirror),
-                c_coords + refr_off,
-            ]),
-            "dir": jnp.concatenate([refl_dir, refr_dir]),
-            "weight": jnp.concatenate([
-                c_w * jnp.where(c_glass[:, None], kr[:, None], 1.0),
-                c_w * (1.0 - kr)[:, None],
-            ]),
-            "pixel": jnp.concatenate([p_pix, p_pix]),
-            "rid": jnp.concatenate([p_rid * 2 + 1, p_rid * 2 + 2]),
-            "live": jnp.concatenate([
-                slot_ok,
-                slot_ok & c_glass & has_refr,
-            ]),
+            "orig": c_coords + jnp.where(sr, refr_off, refl_off),
+            "dir": jnp.where(sr, refr_dir, refl_dir),
+            "weight": c_w * jnp.where(slot_refr, 1.0 - kr, refl_w)[:, None],
+            "pixel": p_pix,
+            "rid": jnp.where(slot_refr, p_rid * 2 + 2, p_rid * 2 + 1),
+            "live": slot_ok & jnp.where(slot_refr, has_refr, True),
         }
 
     if with_stats:

@@ -102,12 +102,18 @@ class PathTracing(RenderingPipeline):
                 fused_path_camera_render,
             )
 
-            a = fused_path_camera_render(
-                rt, make_key(self.seed), self.width, self.height,
-                scene.fovy, n_samples, start_sample=done,
-                p_rr=scene.rr, max_bounces=self.max_bounces,
-            )
-            acc = acc + a.T
+            # batch over start_sample: the kernel's seed select is
+            # unrolled O(spp per call) (ops/pallas_path), and streams
+            # are keyed by absolute sample index so batching preserves
+            # per-sample radiance exactly
+            for s0 in range(0, n_samples, 64):
+                a = fused_path_camera_render(
+                    rt, make_key(self.seed), self.width, self.height,
+                    scene.fovy, min(64, n_samples - s0),
+                    start_sample=done + s0,
+                    p_rr=scene.rr, max_bounces=self.max_bounces,
+                )
+                acc = acc + a.T
         else:
             orig, d = camera_rays(rt.eye, scene.fovy, self.width, self.height)
             acc = path_render_accumulate(

@@ -77,18 +77,28 @@ def load() -> Optional[ctypes.CDLL]:
         import shutil
         import tempfile
 
+        tmp_name = None
         try:
             with tempfile.NamedTemporaryFile(
                 suffix=".so", delete=False
             ) as tmp:
-                shutil.copyfile(path, tmp.name)
-            lib = ctypes.CDLL(tmp.name)
+                tmp_name = tmp.name
+                shutil.copyfile(path, tmp_name)
+            lib = ctypes.CDLL(tmp_name)
             lib.srt_abi_version.restype = ctypes.c_int32
             lib.srt_abi_version.argtypes = []
             if int(lib.srt_abi_version()) != ABI:
                 return None
         except (OSError, AttributeError):
             return None
+        finally:
+            # dlopen keeps the mapping alive on POSIX; unlinking the temp
+            # copy immediately avoids leaking one .so per process
+            if tmp_name is not None:
+                try:
+                    os.unlink(tmp_name)
+                except OSError:
+                    pass
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.srt_bvh_node_count.restype = ctypes.c_int32
