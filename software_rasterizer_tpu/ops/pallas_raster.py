@@ -39,16 +39,20 @@ BIG = jnp.float32(3.0e38)
 
 
 def bin_triangles(tri_bbox, keep, gh: int, gw: int, tile_h: int,
-                  tile_w: int, cap: int):
+                  tile_w: int, cap: int, row0=0):
     """Per-tile triangle lists from screen bboxes.
 
     tri_bbox: (F, 4) [min_x, min_y, max_x, max_y]; keep: (F,) bool.
     Returns (lists (T, cap) i32 ascending per row, counts (T,) i32
-    clamped to cap, dropped () i32 total overflow).
+    clamped to cap, dropped () i32 total overflow). `row0` places the
+    tile grid at absolute screen row row0 (framebuffer row-sharding).
     """
     f = tri_bbox.shape[0]
     t = gh * gw
-    ty = (jnp.arange(t, dtype=jnp.int32) // gw).astype(jnp.float32) * tile_h
+    ty = (
+        (jnp.arange(t, dtype=jnp.int32) // gw) * tile_h
+        + jnp.asarray(row0, jnp.int32)
+    ).astype(jnp.float32)
     tx = (jnp.arange(t, dtype=jnp.int32) % gw).astype(jnp.float32) * tile_w
     # (T, F) overlap: tri bbox vs tile rect [tx, tx+w-1] x [ty, ty+h-1]
     ov = (
@@ -79,17 +83,19 @@ def bin_triangles(tri_bbox, keep, gh: int, gw: int, tile_h: int,
     return lists, counts, dropped
 
 
-def _tile_kernel(cnt_ref, lst_ref, geo_ref, attr_ref,
+def _tile_kernel(off_ref, cnt_ref, lst_ref, geo_ref, attr_ref,
                  z_ref, i_ref, pa_ref, id_ref, *, gw: int, tile_h: int,
                  tile_w: int):
     """One screen tile. geo_ref (F, 12): [row_a(3) | row_b(3) | zrow(3) |
     pad]; attr_ref (F, 28): [n0 n1 n2 (9) | uv0 uv1 uv2 (6) | c0 c1 c2
-    (9) | shader_id | tex_id | pad(2)]."""
+    (9) | shader_id | tex_id | pad(2)]. off_ref[0] = absolute screen row
+    of this program's tile grid (framebuffer row-sharding)."""
     t = pl.program_id(0)
     cnt = cnt_ref[t]
     shape = (tile_h, tile_w)
     y = (
-        jax.lax.broadcasted_iota(jnp.int32, shape, 0) + (t // gw) * tile_h
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        + (t // gw) * tile_h + off_ref[0]
     ).astype(jnp.float32)
     x = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 1) + (t % gw) * tile_w
@@ -165,19 +171,20 @@ def _tile_kernel(cnt_ref, lst_ref, geo_ref, attr_ref,
 )
 def raster_tiles_fused(geo, attr, tri_bbox, keep, height: int, width: int,
                        tile_h: int = 128, tile_w: int = 128,
-                       cap: int = 2048, interpret: bool = False):
+                       cap: int = 2048, interpret: bool = False, row0=0):
     """Binned + fused tile rasterization.
 
     geo (F, 12), attr (F, 28) — see `pack_raster_tables`.
     Returns dict: best_z (H,W) f32 (inf uncovered), best_idx (H,W) i32
     (-1 uncovered), normal/uv/color (H,W,3|2) f32, shader_type/tex_id
-    (H,W) i32, bin_dropped () i32.
+    (H,W) i32, bin_dropped () i32. `row0` (traced scalar ok) rasterizes
+    absolute screen rows [row0, row0+height) — bit-exact row-sharding.
     """
     gh = -(-height // tile_h)
     gw = -(-width // tile_w)
     cap = min(cap, max(256, ((geo.shape[0] + 127) // 128) * 128))
     lists, counts, dropped = bin_triangles(
-        tri_bbox, keep, gh, gw, tile_h, tile_w, cap
+        tri_bbox, keep, gh, gw, tile_h, tile_w, cap, row0=row0
     )
     hp, wp = gh * tile_h, gw * tile_w
 
@@ -185,6 +192,7 @@ def raster_tiles_fused(geo, attr, tri_bbox, keep, height: int, width: int,
         functools.partial(_tile_kernel, gw=gw, tile_h=tile_h, tile_w=tile_w),
         grid=(gh * gw,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # row0
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # counts
             pl.BlockSpec((1, 1, cap), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),                 # list row
@@ -208,7 +216,8 @@ def raster_tiles_fused(geo, attr, tri_bbox, keep, height: int, width: int,
             jax.ShapeDtypeStruct((2, hp, wp), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, lists[:, None, :], geo, attr)
+    )(jnp.asarray(row0, jnp.int32).reshape(1), counts,
+      lists[:, None, :], geo, attr)
 
     sl = (slice(0, height), slice(0, width))
     return {

@@ -80,12 +80,18 @@ def triangle_setup(tri_xy: jnp.ndarray, tri_z: jnp.ndarray):
     return coef, zrow
 
 
-def _tile_pixels(ty, tx, tile_h, tile_w, dtype=jnp.float32):
+def _tile_pixels(ty, tx, tile_h, tile_w, dtype=jnp.float32, row0=0):
     """Pixel coordinate block (P,3) of (x, y, 1) for tile (ty,tx).
 
     Reference quirk: fragments are sampled at INTEGER pixel coords, not
-    centers (Rasterizer.cpp:285-287)."""
-    yy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + ty * tile_h
+    centers (Rasterizer.cpp:285-287). `row0` offsets y to ABSOLUTE
+    screen rows (framebuffer row-sharding: every per-pixel f32 op sees
+    the same operands as the monolithic render, so shards are
+    bit-exact)."""
+    yy = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        + ty * tile_h + row0
+    )
     xx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + tx * tile_w
     px = jnp.stack(
         [xx.astype(dtype), yy.astype(dtype), jnp.ones((tile_h, tile_w), dtype)],
@@ -103,12 +109,15 @@ def rasterize_tiles(
     tile: Tuple[int, int] = (128, 128),
     chunk: int = 512,
     tri_bbox: jnp.ndarray = None,
+    row0=0,
 ):
     """Deterministic min-z coverage resolve.
 
     coef: (F,2,3), zrow: (F,3), keep: (F,) bool (valid & front-facing).
     Returns best_idx (H,W) i32 (-1 where uncovered), best_z (H,W) f32.
-    F must be a multiple of `chunk` (pad with keep=False).
+    F must be a multiple of `chunk` (pad with keep=False). `row0`
+    (traced scalar ok) renders rows [row0, row0+height) of the absolute
+    screen — the framebuffer-sharding hook.
 
     Depth resolve: per chunk, two single-op min-reduces (min z, then the
     lowest lane among equal-z slots) — exact and far cheaper than one
@@ -143,9 +152,11 @@ def rasterize_tiles(
     z_mat = zrow.T                                        # (3,F)
     neg_inf_z = jnp.where(keep, 0.0, INF)                 # additive kill
 
+    row0_i = jnp.asarray(row0, jnp.int32)
+
     def tile_fn(tidx):
         ty, tx = tidx // gw, tidx % gw
-        px = _tile_pixels(ty, tx, tile_h, tile_w)         # (P,3)
+        px = _tile_pixels(ty, tx, tile_h, tile_w, row0=row0_i)  # (P,3)
 
         px_x = px[:, 0:1]                                 # (P,1)
         px_y = px[:, 1:2]
@@ -189,7 +200,7 @@ def rasterize_tiles(
             return (best_z, best_i)
 
         tx0 = (tx * tile_w).astype(jnp.float32)
-        ty0 = (ty * tile_h).astype(jnp.float32)
+        ty0 = (ty * tile_h + row0_i).astype(jnp.float32)
 
         def chunk_body(carry, ci):
             sl = ci * chunk
@@ -249,7 +260,7 @@ def interpolate_fragments(best_idx, coef, tri_attrs):
 def _deferred_shade_compact(
     covered, best_z, normal, uv, color, shader_type, tex_id,
     geom, frame, height: int, width: int, active_types,
-    cap_frac: float = 0.1875,
+    cap_frac: float = 0.1875, row0=0,
 ):
     # cap_frac: the demo scene peaks at 160/1024 live blocks (15.6%)
     # across the rotation sweep; 0.1875 keeps a 20% margin and cuts the
@@ -309,7 +320,8 @@ def _deferred_shade_compact(
     bid = perm
     by = (bid // gbx).astype(jnp.float32)[:, None, None]
     bx = (bid % gbx).astype(jnp.float32)[:, None, None]
-    yy = by * bh + jax.lax.broadcasted_iota(
+    row0_f = jnp.asarray(row0, jnp.float32)
+    yy = row0_f + by * bh + jax.lax.broadcasted_iota(
         jnp.int32, (cap, bh, bw), 1
     ).astype(jnp.float32)
     xx = bx * bw + jax.lax.broadcasted_iota(
@@ -347,7 +359,7 @@ def _deferred_shade_compact(
         in_compact = jnp.broadcast_to(
             in_compact_b.reshape(gby, 1, gbx, 1), (gby, bh, gbx, bw)
         ).reshape(height, width)
-        yyf = jax.lax.broadcasted_iota(
+        yyf = row0_f + jax.lax.broadcasted_iota(
             jnp.int32, (height, width), 0
         ).astype(jnp.float32)
         xxf = jax.lax.broadcasted_iota(
@@ -416,6 +428,7 @@ def render_raster_frame(
     cull: bool = True,
     active_types=None,
     with_stats: bool = False,
+    row0=0,
 ):
     """Full raster pipeline: vertex stage -> coverage/z resolve -> deferred
     fragment shading. Returns (image (H,W,3) f32 in [0,1] pre-clamp, zbuf),
@@ -423,6 +436,13 @@ def render_raster_frame(
     triangles dropped by the Pallas backend's per-tile binning cap (always
     0 on the XLA backend), so a scene that exceeds the cap is DETECTED,
     never silently missing geometry.
+
+    `row0` (traced scalar ok) renders the absolute screen rows
+    [row0, row0+height): every per-pixel op sees the same f32 operands
+    as the monolithic frame, so a row-sharded render reassembles
+    BIT-EXACTLY (parallel/render.sharded_raster_render; the TPU-native
+    analog of the reference's TBB row partitioning,
+    Rasterizer.cpp:217-236).
 
     geom: models.scene.RasterGeometry; frame: models.scene.RasterFrame.
     `active_types`: static tuple of the ShaderType values used by the
@@ -450,7 +470,10 @@ def render_raster_frame(
     shader_type_f = geom.shader_type[geom.face_mesh].astype(jnp.float32)
     tex_id_f = geom.tex_id[geom.face_mesh].astype(jnp.float32)
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).astype(jnp.float32)
+    row0_i = jnp.asarray(row0, jnp.int32)
+    yy = (
+        row0_i + jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    ).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).astype(jnp.float32)
 
     if _raster_backend() == "pallas":
@@ -463,7 +486,7 @@ def render_raster_frame(
         )
         r = raster_tiles_fused(
             geo_t, attr_t, tri_bbox, keep, height, width,
-            interpret=jax.default_backend() != "tpu",
+            interpret=jax.default_backend() != "tpu", row0=row0_i,
         )
         best_idx, best_z = r["best_idx"], r["best_z"]
         bin_dropped = r["bin_dropped"]
@@ -473,7 +496,7 @@ def render_raster_frame(
         if height % 8 == 0 and width % 128 == 0:
             image = _deferred_shade_compact(
                 covered, best_z, normal, uv, color, shader_type, tex_id,
-                geom, frame, height, width, active_types,
+                geom, frame, height, width, active_types, row0=row0_i,
             )
             zb = jnp.where(covered, best_z, INF)
             if with_stats:
@@ -481,7 +504,8 @@ def render_raster_frame(
             return image, zb
     else:
         best_idx, best_z = rasterize_tiles(
-            coef, zrow, keep, height, width, tile, chunk, tri_bbox
+            coef, zrow, keep, height, width, tile, chunk, tri_bbox,
+            row0=row0_i,
         )
         covered = best_idx >= 0
 

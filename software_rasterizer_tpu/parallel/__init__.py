@@ -6,6 +6,7 @@ parallelism (the renderer's "spatial/context parallel"))."""
 from software_rasterizer_tpu.parallel.mesh import RenderMesh, make_render_mesh
 from software_rasterizer_tpu.parallel.render import (
     sharded_path_render,
+    sharded_raster_render,
     sharded_whitted_render,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "RenderMesh",
     "make_render_mesh",
     "sharded_path_render",
+    "sharded_raster_render",
     "sharded_whitted_render",
 ]

@@ -129,6 +129,42 @@ def test_whitted_sharded_multi_emitter_matches():
     assert 0.3 < (u < 0.5).mean() < 0.7 and np.unique(u).size > 1000
 
 
+def test_raster_sharded_bitexact(models_dir):
+    """Row-sharded rasterization must reassemble BIT-EXACTLY: every
+    per-pixel op sees absolute (x, y) coordinates, so shard programs are
+    elementwise identical to the monolithic frame (the deterministic
+    analog of the reference's TBB row split, Rasterizer.cpp:217-236)."""
+    from software_rasterizer_tpu.models import PointLight, Scene
+    from software_rasterizer_tpu.ops.raster import render_raster_frame
+    from software_rasterizer_tpu.ops.shading import ShaderType
+    from software_rasterizer_tpu.parallel import sharded_raster_render
+
+    scene = Scene("ShardScene", eye=(0.0, 0.0, -0.9))
+    scene.add_graphic_obj(
+        str(models_dir / "spot" / "spot_triangulated_good.obj"),
+        "spot", (0, 1, 0), 140.0, (0.0, 0.05, 0.1), (0.35, 0.35, 0.35),
+    )
+    scene.start_loading_mesh("spot")
+    scene.add_shader(
+        "tex", str(models_dir / "spot" / "spot_texture.png"),
+        ShaderType.TEXTURE,
+    )
+    scene.bind_shader_to_mesh("spot", "tex")
+    scene.add_light("L1", PointLight((0.9, 0.9, -0.9), (100, 100, 100)))
+    scene.set_projection_matrix(45.0, 0.1, 100.0)
+    scene.set_ndc_matrix(64, 64)
+    geom, frame = scene.raster_geometry(), scene.raster_frame()
+    active = tuple(sorted(set(int(t) for t in geom.shader_type)))
+
+    img, zb = render_raster_frame(geom, frame, 64, 64, active_types=active)
+    m8 = make_render_mesh(n_spp=2, n_tile=4)
+    img_s, zb_s = sharded_raster_render(geom, frame, m8, 64, 64,
+                                        active_types=active)
+    assert (np.asarray(zb) < np.inf).sum() > 200
+    np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(zb_s), np.asarray(zb))
+
+
 def test_fused_camera_sharded_matches_monolithic():
     """The persistent-wavefront camera kernel sharded over a
     ("spp","tile") mesh must reproduce the monolithic fused render:
