@@ -33,6 +33,23 @@ from software_rasterizer_tpu.ops.path import compact_perm
 
 EPSILON = 1e-5  # Scene.hpp:160
 
+# canned ray for DEAD lanes: origin far outside any scene, direction
+# along +z — the slab test overflows to (-inf, -inf) intervals on x/y
+# and every chunk (and the Pallas kernels' per-2048-ray-block cull)
+# rejects it. Substituting it on dead lanes makes all-dead blocks skip
+# ALL chunks: compaction's trace savings without its permutation
+# traffic (dead-lane outputs are discarded by the callers' live masks).
+MISS_ORIG = 1e9
+MISS_DIR = (0.0, 0.0, 1.0)
+
+
+def _neuter_dead(live, orig, d):
+    """Replace dead lanes' rays with the canned miss ray."""
+    lv = live[:, None]
+    o = jnp.where(lv, orig, jnp.float32(MISS_ORIG))
+    dd = jnp.where(lv, d, jnp.asarray(MISS_DIR, jnp.float32))
+    return o, dd
+
 
 def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int = 512,
                         lite: bool = False) -> Hit:
@@ -86,7 +103,7 @@ def _pick_emitter_center(scene: RTScene, key, rid, salt: int = 0):
 
 def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
                          spp: int, key, block: int = 8192, chunk: int = 512,
-                         rid=None):
+                         rid=None, mask=None):
     """The DIFFUSE_AND_GLOSSY branch (Scene.cpp:509-574), averaged over
     `spp` emitter picks (identical picks when one emitter exists, matching
     the reference's deterministic resampling loop).
@@ -105,7 +122,12 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
     Takes the shading-point fields explicitly (coords/nrm/color/mat) so
     callers can COMPACT to the diffuse-hit lanes first; shadow rays use
     the emit-only epilogue (nearest_emit_hit) — visibility needs neither
-    normals nor materials of the blocker."""
+    normals nor materials of the blocker. `mask` (optional (N,) bool)
+    marks the lanes whose result the CALLER will actually consume:
+    unmasked lanes trace the canned miss ray, so all-dead 2048-ray
+    blocks (background / specular regions, spatially coherent) cull
+    every chunk in the trace kernels — their returned term is garbage
+    the caller discards."""
     from software_rasterizer_tpu.ops.intersect import nearest_emit_hit
     from software_rasterizer_tpu.utils.rng import lane_uniforms
 
@@ -117,7 +139,10 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
     def eval_toward(center):
         """v(o): the deterministic Phong direct term toward `center`."""
         l = optics.normalize(center - coords)
-        shadow = nearest_emit_hit(scene, coords, l, chunk)
+        so, sl = (coords, l) if mask is None else _neuter_dead(
+            mask, coords, l
+        )
+        shadow = nearest_emit_hit(scene, so, sl, chunk)
         lit = shadow.hit & (jnp.linalg.norm(shadow.emit, axis=-1) >= EPSILON) & any_emitter
         emit = shadow.emit
         diff = jnp.maximum(0.0, jnp.sum(nrm * l, axis=-1))
@@ -154,10 +179,19 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
         )
         counts = counts + (k[:, None] == oi).astype(jnp.float32)
 
-    total = jnp.zeros((n, 3))
-    for o in range(o_cap):
+    # emitter 0 is picked by SOME lane whenever any emitter exists (picks
+    # land in [0, n_emitters)), so its term runs unconditionally — inline
+    # and fusable, unlike a lax.cond branch whose operands XLA
+    # materializes (measured: the cond-wrapped depth-0 term cost ~90 ms
+    # vs ~25 ms inline at 1M lanes). Emitters o >= 1 keep the cond so a
+    # single-emitter scene (the reference demo + Cornell) pays exactly
+    # one shadow trace per depth.
+    total = counts[:, 0:1] * eval_toward(
+        jnp.broadcast_to(scene.emitter_cr[0, 0:3], (n, 3))
+    )
+    for o in range(1, o_cap):
         c_o = counts[:, o]
-        picked = jnp.any(c_o > 0) & (o < jnp.maximum(scene.n_emitters, 1))
+        picked = jnp.any(c_o > 0)
         total = total + jax.lax.cond(
             picked,
             lambda _: c_o[:, None] * eval_toward(
@@ -186,6 +220,7 @@ def whitted_trace(
     queue_shrink: float = 0.5,
     lane_offset=0,
     with_stats: bool = False,
+    pixel_ids=None,
 ):
     """Trace one Whitted sample tree per lane. orig/d: (N,3) normalized
     camera rays. Returns (N,3) radiance, or (radiance, stats) when
@@ -195,37 +230,58 @@ def whitted_trace(
     across devices — pass `lane_offset` = the shard's absolute first-lane
     index so per-ray RNG identities stay global.)
 
+    `pixel_ids` (optional (N,) i32): the local image index each lane
+    deposits to, when lanes are NOT in image order — whitted_render
+    passes camera rays in (16, 128)-pixel TILE order so each 2048-lane
+    trace block covers a compact screen tile instead of two full image
+    rows, which is what makes the kernels' per-block chunk culling
+    fire (a row-pair block sees the whole scene; a tile sees a narrow
+    frustum). RNG identities stay keyed by ABSOLUTE PIXEL id
+    (lane_offset + pixel_ids), so the rendered values are bit-identical
+    to image-order lanes.
+
     Child queues shrink geometrically: depth d's capacity is
     min(n * queue_factor, n * queue_shrink**d) lanes (aligned up, floor
-    1024). Only specular (glass/mirror) hits spawn children — glass
-    parents take 2 slots (reflect + refract), mirrors exactly 1 — so the
-    live population collapses after depth 1 for typical scenes; slots
-    are allocated by an exact per-parent child count (cumsum + scatter),
-    and each child ray lost to overflow is COUNTED in
-    stats["dropped_rays"] (never silent). queue_shrink=1.0 disables the
-    geometric schedule (capacity doubles per depth up to
-    n * queue_factor); combined with queue_factor >= 2**max_depth this
-    reproduces the reference's full binary recursion tree losslessly."""
+    1024). Only specular (glass/mirror) hits spawn children; every
+    specular parent reserves TWO slots (reflect half + refract half —
+    a mirror's refract slot is dead, a deliberate capacity/locality
+    trade documented at the allocation site), so parent capacity per
+    depth is half the queue. Each child ray lost to overflow is COUNTED
+    in stats["dropped_rays"] (never silent; glass parents count 2).
+    queue_shrink=1.0 disables the geometric schedule (capacity doubles
+    per depth up to n * queue_factor); combined with queue_factor >=
+    2**max_depth this reproduces the reference's full binary recursion
+    tree losslessly."""
     n = orig.shape[0]
     img = jnp.zeros((n, 3))
     dropped = jnp.zeros((), jnp.int32)
 
+    pix0 = (
+        jnp.arange(n, dtype=jnp.int32) if pixel_ids is None
+        else pixel_ids.astype(jnp.int32)
+    )
     rays = {
         "orig": orig,
         "dir": d,
         "weight": jnp.ones((n, 3)),
-        "pixel": jnp.arange(n, dtype=jnp.int32),
-        # stable RNG identity: absolute lane id at depth 0; children
+        "pixel": pix0,
+        # stable RNG identity: absolute PIXEL id at depth 0; children
         # derive 2*rid+{1,2} (collisions only via uint32 wrap — harmless
         # for hashing, deterministic everywhere)
-        "rid": lane_offset + jnp.arange(n, dtype=jnp.int32),
+        "rid": lane_offset + pix0,
         "live": jnp.ones(n, bool),
     }
 
     for depth in range(max_depth + 1):
         cap = rays["orig"].shape[0]
-        hit = blocked_nearest_hit(scene, rays["orig"], rays["dir"], block, chunk)
         live = rays["live"]
+        # dead lanes (queue slots past n_spec, refract slots of mirrors/
+        # TIR) trace the canned miss ray: all-dead 2048-ray blocks cull
+        # every chunk inside the trace kernels, so queue capacity costs
+        # ~nothing in trace time (their hit records are discarded — all
+        # consumers below mask by `live`)
+        t_orig, t_dir = _neuter_dead(live, rays["orig"], rays["dir"])
+        hit = blocked_nearest_hit(scene, t_orig, t_dir, block, chunk)
         weight = rays["weight"]
         pixel = rays["pixel"]
 
@@ -241,12 +297,13 @@ def whitted_trace(
         direct = whitted_phong_direct(
             scene, hit.coords, nrm, hit.color, hit.mat, i_dir, spp,
             jax.random.fold_in(key, depth), block, chunk, rid=rays["rid"],
+            mask=is_diffuse,
         )
-        # one combined radiance deposit per depth; at depth 0 lane i is
-        # pixel i, so a plain add replaces the scatter
+        # one combined radiance deposit per depth; at depth 0 in image
+        # order, lane i is pixel i and a plain add replaces the scatter
         deposit = jnp.where(miss[:, None], weight * scene.background, 0.0) + \
             jnp.where(is_diffuse[:, None], weight * direct, 0.0)
-        if depth == 0:
+        if depth == 0 and pixel_ids is None:
             img = img + deposit
         else:
             # per-CHANNEL 1-D scatters: XLA lays the (N,3) image out
@@ -261,19 +318,24 @@ def whitted_trace(
         if depth == max_depth:
             break  # children would exceed depth cap -> contribute black
 
-        # specular branches: allocate child-queue slots by EXACT child
-        # count per parent — glass (REFLECTION_AND_REFRACTION) parents
-        # take 2 slots (reflect + refract), mirror (REFLECTION) parents
-        # take 1 (reflect only) — via a cumsum of per-parent counts and
-        # two scatters (the counted generalization of compact_perm).
-        # Unlike the previous fixed-2-slots-per-parent layout, a
-        # mirror-heavy frame wastes no capacity on dead refract slots,
-        # and `dropped` counts exactly the child RAYS lost to overflow.
-        # The Fresnel/reflect/refract math runs once at queue width with
-        # per-slot selects; per-lane values are identical to the old
-        # two-half layout — only the queue ORDER differs (per-parent
-        # interleaved instead of reflects-then-refracts), which never
-        # changes radiance sums beyond f32 reassociation.
+        # specular branches: compact the SPECULAR PARENTS first, then
+        # build both children at the compacted width — the Fresnel/
+        # reflect/refract math, the 14-col parent gather, and the child
+        # arrays all run at cap_next/2 lanes, and the queue keeps
+        # reflects and refracts in SEPARATE halves (reflect and refract
+        # directions diverge; a layout mixing both populations into the
+        # same 2048-ray trace blocks defeats the mm2 kernel's per-block
+        # chunk culling — an exact per-parent slot-counted layout was
+        # built and measured +40-65 ms/frame at 1024^2 from the mixed
+        # blocks and the full-queue-width child math, then reverted).
+        # The cost of the two-half layout: every specular parent
+        # reserves a refract slot even when it is a mirror, so PARENT
+        # capacity is cap_next // 2 and a frame whose specular parents
+        # exceed it drops children that an exactly-counted layout could
+        # have kept. Drops are COUNTED EXACTLY: each dropped parent
+        # loses its reflect child plus, for glass parents, the refract
+        # child (counted even if total internal reflection would have
+        # killed it — its Fresnel term is never computed).
         is_spec = live & hit.hit & ((mat_type == 1) | (mat_type == 2))
         is_glass = is_spec & (mat_type == 1)
         # queue_shrink >= 1.0 disables the geometric schedule entirely:
@@ -286,31 +348,24 @@ def whitted_trace(
             else max(_align_up(int(n * queue_shrink ** (depth + 1)), 256), 1024)
         )
         cap_next = min(n * queue_factor, 2 * cap, geo_cap)
-        cnt = jnp.where(is_spec, jnp.where(is_glass, 2, 1), 0)
-        start = jnp.cumsum(cnt) - cnt
-        n_child = jnp.sum(cnt)
-        dropped = dropped + jnp.maximum(n_child - cap_next, 0)
-        lanes = jnp.arange(cap, dtype=jnp.int32)
-        oob = jnp.int32(cap_next)
-        tgt_refl = jnp.where(is_spec, jnp.minimum(start, oob), oob)
-        tgt_refr = jnp.where(is_glass, jnp.minimum(start + 1, oob), oob)
-        slot_parent = jnp.zeros((cap_next,), jnp.int32)
-        slot_parent = slot_parent.at[tgt_refl].set(lanes, mode="drop")
-        slot_parent = slot_parent.at[tgt_refr].set(lanes, mode="drop")
-        slot_refr = jnp.zeros((cap_next,), jnp.bool_).at[tgt_refr].set(
-            True, mode="drop"
+        half = cap_next // 2
+        perm, n_spec = compact_perm(is_spec, half)
+        # exact child-ray loss: parents compacted past `half` lose 1
+        # (mirror) or 2 (glass) children
+        pos = jnp.cumsum(is_spec.astype(jnp.int32)) - 1
+        lost = is_spec & (pos >= half)
+        dropped = dropped + jnp.sum(
+            jnp.where(lost, 1 + is_glass.astype(jnp.int32), 0)
         )
-        slot_ok = jnp.arange(cap_next, dtype=jnp.int32) < jnp.minimum(
-            n_child, cap_next
-        )
+        slot_ok = jnp.arange(half, dtype=jnp.int32) < n_spec
 
         pf = jnp.concatenate([
             hit.coords, rays["dir"], hit.normal, weight,
             hit.ior[:, None],
             hit.mat_type.astype(jnp.float32)[:, None],
-        ], axis=1)[slot_parent]                           # (cap_next, 14)
-        p_pix = pixel[slot_parent]
-        p_rid = rays["rid"][slot_parent]
+        ], axis=1)[perm]                                  # (half, 14)
+        p_pix = pixel[perm]
+        p_rid = rays["rid"][perm]
         c_coords = pf[:, 0:3]
         c_idir = pf[:, 3:6]
         c_nrm = pf[:, 6:9]   # hit.normal is already unit length
@@ -332,17 +387,23 @@ def whitted_trace(
         rdotn = jnp.sum(refl_dir * c_nrm, axis=-1)
         refl_off_mirror = jnp.where(rdotn[:, None] > 0, c_nrm, -c_nrm) * EPSILON
 
-        refl_off = jnp.where(c_glass[:, None], refl_off_glass,
-                             refl_off_mirror)
-        refl_w = jnp.where(c_glass, kr, 1.0)
-        sr = slot_refr[:, None]
         rays = {
-            "orig": c_coords + jnp.where(sr, refr_off, refl_off),
-            "dir": jnp.where(sr, refr_dir, refl_dir),
-            "weight": c_w * jnp.where(slot_refr, 1.0 - kr, refl_w)[:, None],
-            "pixel": p_pix,
-            "rid": jnp.where(slot_refr, p_rid * 2 + 2, p_rid * 2 + 1),
-            "live": slot_ok & jnp.where(slot_refr, has_refr, True),
+            "orig": jnp.concatenate([
+                c_coords + jnp.where(c_glass[:, None], refl_off_glass,
+                                     refl_off_mirror),
+                c_coords + refr_off,
+            ]),
+            "dir": jnp.concatenate([refl_dir, refr_dir]),
+            "weight": jnp.concatenate([
+                c_w * jnp.where(c_glass, kr, 1.0)[:, None],
+                c_w * (1.0 - kr)[:, None],
+            ]),
+            "pixel": jnp.concatenate([p_pix, p_pix]),
+            "rid": jnp.concatenate([p_rid * 2 + 1, p_rid * 2 + 2]),
+            "live": jnp.concatenate([
+                slot_ok,
+                slot_ok & c_glass & has_refr,
+            ]),
         }
 
     if with_stats:
@@ -370,11 +431,30 @@ def whitted_render(
     with_stats: bool = False,
 ):
     """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp);
-    with_stats=True returns (image, {"dropped_rays": i32})."""
+    with_stats=True returns (image, {"dropped_rays": i32}).
+
+    Camera rays are issued in (16, 128)-pixel TILE order when the frame
+    divides evenly: each 2048-lane trace block then covers a compact
+    screen tile instead of two full image rows, so the trace kernels'
+    per-block chunk culling sees a narrow frustum (measured: depth-0
+    main+shadow traces drop ~2x at 1024^2 on the demo scene). Radiance
+    values are bit-identical — RNG identities and deposits are keyed by
+    absolute pixel id."""
     orig, d = camera_rays(scene.eye, fovy, width, height)
+    th, tw = 16, 128
+    if height % th == 0 and width % tw == 0 and height * width > th * tw:
+        pid = (
+            jnp.arange(height * width, dtype=jnp.int32)
+            .reshape(height // th, th, width // tw, tw)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+        orig, d = orig[pid], d[pid]
+    else:
+        pid = None
     out = whitted_trace(
         scene, orig, d, key, spp, max_depth, block, chunk, queue_factor,
-        queue_shrink, with_stats=with_stats,
+        queue_shrink, with_stats=with_stats, pixel_ids=pid,
     )
     if with_stats:
         img, stats = out
