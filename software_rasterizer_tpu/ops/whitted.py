@@ -131,10 +131,24 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
     from software_rasterizer_tpu.ops.intersect import nearest_emit_hit
     from software_rasterizer_tpu.utils.rng import lane_uniforms
 
+    from software_rasterizer_tpu.ops.intersect import _onehot_rows
+
     n = coords.shape[0]
     if rid is None:
         rid = jnp.arange(n, dtype=jnp.int32)
     any_emitter = scene.n_emitters > 0
+
+    # one one-hot MXU join replaces three per-lane material gathers
+    # (ka/ks/spec_exp at 1M lanes cost ~9 ns/row EACH as gathers; the
+    # material table is tiny, so the (N, M) one-hot matmul is ~free and
+    # exact at HIGHEST precision)
+    mat7 = _onehot_rows(
+        mat,
+        jnp.concatenate(
+            [scene.mat_ka, scene.mat_ks, scene.mat_spec[:, None]], axis=1
+        ),
+    )
+    ka, ks, spec_exp = mat7[:, 0:3], mat7[:, 3:6], mat7[:, 6]
 
     def eval_toward(center):
         """v(o): the deterministic Phong direct term toward `center`."""
@@ -147,7 +161,6 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
         emit = shadow.emit
         diff = jnp.maximum(0.0, jnp.sum(nrm * l, axis=-1))
         refl = optics.normalize(optics.reflect(-l, nrm))
-        spec_exp = scene.mat_spec[mat]
         spec = jnp.maximum(0.0, -jnp.sum(ray_dir * refl, axis=-1)) ** spec_exp
         scoords = coords + l * shadow.t[:, None]
         dist2 = jnp.sum((coords - scoords) ** 2, axis=-1)
@@ -156,8 +169,6 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
         ambient = jnp.where(is_shadow[:, None], 0.0, emit)
         diffuse = jnp.where(is_shadow[:, None], 0.0, diff[:, None] * emit)
         specular = spec[:, None] * emit
-        ka = scene.mat_ka[mat]
-        ks = scene.mat_ks[mat]
         v = ambient * ka + color * diffuse + specular * ks
         return jnp.where(lit[:, None], v, 0.0)
 
@@ -230,15 +241,18 @@ def whitted_trace(
     across devices — pass `lane_offset` = the shard's absolute first-lane
     index so per-ray RNG identities stay global.)
 
-    `pixel_ids` (optional (N,) i32): the local image index each lane
-    deposits to, when lanes are NOT in image order — whitted_render
-    passes camera rays in (16, 128)-pixel TILE order so each 2048-lane
-    trace block covers a compact screen tile instead of two full image
-    rows, which is what makes the kernels' per-block chunk culling
-    fire (a row-pair block sees the whole scene; a tile sees a narrow
-    frustum). RNG identities stay keyed by ABSOLUTE PIXEL id
-    (lane_offset + pixel_ids), so the rendered values are bit-identical
-    to image-order lanes.
+    `pixel_ids` (optional (N,) i32): each lane's IMAGE index when lanes
+    are not in image order — whitted_render passes camera rays in
+    (16, 128)-pixel TILE order so each 2048-lane trace block covers a
+    compact screen tile instead of two full image rows, which is what
+    makes the kernels' per-block chunk culling fire (a row-pair block
+    sees the whole scene; a tile sees a narrow frustum). pixel_ids keys
+    ONLY the RNG identity (lane_offset + pixel_ids), so rendered values
+    are bit-identical to image-order lanes; the returned radiance stays
+    in LANE order (deposits are lane-indexed — the tile permutation is
+    a pure reshape/transpose the caller applies ONCE at the end, where
+    scatter-depositing into image order would cost ~9 ms per channel
+    per depth at 1M lanes).
 
     Child queues shrink geometrically: depth d's capacity is
     min(n * queue_factor, n * queue_shrink**d) lanes (aligned up, floor
@@ -255,8 +269,9 @@ def whitted_trace(
     n = orig.shape[0]
     img = jnp.zeros((n, 3))
     dropped = jnp.zeros((), jnp.int32)
+    dep_pix, dep_val = [], []
 
-    pix0 = (
+    rid0 = (
         jnp.arange(n, dtype=jnp.int32) if pixel_ids is None
         else pixel_ids.astype(jnp.int32)
     )
@@ -264,11 +279,11 @@ def whitted_trace(
         "orig": orig,
         "dir": d,
         "weight": jnp.ones((n, 3)),
-        "pixel": pix0,
+        "pixel": jnp.arange(n, dtype=jnp.int32),   # lane-order deposits
         # stable RNG identity: absolute PIXEL id at depth 0; children
         # derive 2*rid+{1,2} (collisions only via uint32 wrap — harmless
         # for hashing, deterministic everywhere)
-        "rid": lane_offset + pix0,
+        "rid": lane_offset + rid0,
         "live": jnp.ones(n, bool),
     }
 
@@ -299,21 +314,22 @@ def whitted_trace(
             jax.random.fold_in(key, depth), block, chunk, rid=rays["rid"],
             mask=is_diffuse,
         )
-        # one combined radiance deposit per depth; at depth 0 in image
-        # order, lane i is pixel i and a plain add replaces the scatter
+        # one combined radiance deposit per depth; at depth 0 lane i is
+        # slot i of the lane-order image, so a plain add replaces the
+        # scatter
         deposit = jnp.where(miss[:, None], weight * scene.background, 0.0) + \
             jnp.where(is_diffuse[:, None], weight * direct, 0.0)
-        if depth == 0 and pixel_ids is None:
+        if depth == 0:
             img = img + deposit
         else:
-            # per-CHANNEL 1-D scatters: XLA lays the (N,3) image out
-            # column-major ({0,1}), making a row-scatter-add ~70x the
-            # cost of three 1-D scatters on these shapes (profiled 20 ms
-            # vs 0.15 ms at 0.5M rows into 1M lanes)
-            img = jnp.stack(
-                [img[:, c].at[pixel].add(deposit[:, c]) for c in range(3)],
-                axis=1,
-            )
+            # deeper deposits are DEFERRED and merged into ONE scatter
+            # after the loop: per-depth scatter-adds at these target
+            # sizes cost ~1.5 ms/channel/depth. A pixel receiving
+            # radiance from several depths may see a different f32 ADD
+            # ORDER than depth-by-depth accumulation — reassociation
+            # only, within the tests' tolerance
+            dep_pix.append(pixel)
+            dep_val.append(deposit)
 
         if depth == max_depth:
             break  # children would exceed depth cap -> contribute black
@@ -406,6 +422,16 @@ def whitted_trace(
             ]),
         }
 
+    if dep_pix:
+        pix = jnp.concatenate(dep_pix)
+        val = jnp.concatenate(dep_val)
+        # per-CHANNEL 1-D scatters: XLA lays the (N,3) image out
+        # column-major ({0,1}), making a row-scatter-add ~70x the cost
+        # of three 1-D scatters on these shapes
+        img = jnp.stack(
+            [img[:, c].at[pix].add(val[:, c]) for c in range(3)],
+            axis=1,
+        )
     if with_stats:
         return img, {"dropped_rays": dropped}
     return img
@@ -442,21 +468,35 @@ def whitted_render(
     absolute pixel id."""
     orig, d = camera_rays(scene.eye, fovy, width, height)
     th, tw = 16, 128
-    if height % th == 0 and width % tw == 0 and height * width > th * tw:
-        pid = (
-            jnp.arange(height * width, dtype=jnp.int32)
-            .reshape(height // th, th, width // tw, tw)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1)
+    tiled = height % th == 0 and width % tw == 0 and height * width > th * tw
+
+    def to_tiles(a):
+        # image order -> tile order: a pure reshape/transpose (~1 ms at
+        # 1M rows), NOT a gather (a permutation gather costs ~4.5 ms)
+        k = a.shape[-1]
+        return (
+            a.reshape(height // th, th, width // tw, tw, k)
+            .transpose(0, 2, 1, 3, 4).reshape(-1, k)
         )
-        orig, d = orig[pid], d[pid]
+
+    def from_tiles(a):
+        k = a.shape[-1]
+        return (
+            a.reshape(height // th, width // tw, th, tw, k)
+            .transpose(0, 2, 1, 3, 4).reshape(height, width, k)
+        )
+
+    if tiled:
+        pid = to_tiles(
+            jnp.arange(height * width, dtype=jnp.int32)[:, None]
+        )[:, 0]
+        orig, d = to_tiles(orig), to_tiles(d)
     else:
         pid = None
     out = whitted_trace(
         scene, orig, d, key, spp, max_depth, block, chunk, queue_factor,
         queue_shrink, with_stats=with_stats, pixel_ids=pid,
     )
-    if with_stats:
-        img, stats = out
-        return img.reshape(height, width, 3), stats
-    return out.reshape(height, width, 3)
+    img, stats = out if with_stats else (out, None)
+    img = from_tiles(img) if tiled else img.reshape(height, width, 3)
+    return (img, stats) if with_stats else img
