@@ -260,12 +260,17 @@ def interpolate_fragments(best_idx, coef, tri_attrs):
 def _deferred_shade_compact(
     covered, best_z, normal, uv, color, shader_type, tex_id,
     geom, frame, height: int, width: int, active_types,
-    cap_frac: float = 0.1875, row0=0,
+    cap_fracs=(0.1875, 0.5), row0=0,
 ):
-    # cap_frac: the demo scene peaks at 160/1024 live blocks (15.6%)
-    # across the rotation sweep; 0.1875 keeps a 20% margin and cuts the
-    # texture-gather width 25% vs the old 0.25. Overflow is still exact
-    # (cond fallback below).
+    # cap_fracs: ADAPTIVE two-tier caps. Tier 1 (0.1875) covers the
+    # demo-scene regime (peaks at 160/1024 live blocks, 15.6%, across
+    # the rotation sweep — 20% margin); tier 2 (0.5) covers
+    # mid-coverage scenes; a fuller screen falls through to the
+    # full-width epilogue ALONE (it is the cheapest exact program at
+    # that coverage — every pixel shades anyway). The frame picks the
+    # cheapest sufficient tier from the live-block count at runtime
+    # (lax.cond chain), so no scene pays a fallback ON TOP of a
+    # compacted pass.
     """Coverage-proportional deferred shading.
 
     The full-width epilogue is dominated by the per-pixel texture-atlas
@@ -277,16 +282,16 @@ def _deferred_shade_compact(
     coverage-proportional cost structure as the reference's fragment
     loop (Rasterizer.cpp:217-236 only walks bbox rows).
 
-    Exact by construction: if active blocks overflow the static cap
-    (cap_frac of all blocks), a lax.cond runs the full-width epilogue
-    for the NON-compacted remainder — never a silent drop.
+    Exact by construction at every tier: a tier only runs when ALL live
+    blocks fit its cap; otherwise the full-width epilogue shades every
+    covered pixel — never a silent drop.
     """
     from software_rasterizer_tpu.ops.path import compact_perm
 
     bh, bw = 8, 128
     gby, gbx = height // bh, width // bw
     nb = gby * gbx
-    cap = max(64, int(nb * cap_frac))
+    row0_f = jnp.asarray(row0, jnp.float32)
 
     def to_blocks(a):
         # (H, W, K) -> (NB, bh, bw, K)
@@ -313,52 +318,43 @@ def _deferred_shade_compact(
         .reshape(nb, -1),
         axis=1,
     )
-    perm, n_act = compact_perm(blk_live, cap)
-    slot_ok = jnp.arange(cap, dtype=jnp.int32) < n_act
-
-    tc = tab_b[perm]                              # (cap, bh, bw, 12)
-    bid = perm
-    by = (bid // gbx).astype(jnp.float32)[:, None, None]
-    bx = (bid % gbx).astype(jnp.float32)[:, None, None]
-    row0_f = jnp.asarray(row0, jnp.float32)
-    yy = row0_f + by * bh + jax.lax.broadcasted_iota(
-        jnp.int32, (cap, bh, bw), 1
-    ).astype(jnp.float32)
-    xx = bx * bw + jax.lax.broadcasted_iota(
-        jnp.int32, (cap, bh, bw), 2
-    ).astype(jnp.float32)
-
-    pos_c = jnp.stack([xx, yy, tc[..., 0]], axis=-1)
-    rgb_c = sh.shade_fragments(
-        jnp.round(tc[..., 9]).astype(jnp.int32),
-        frame.eye, pos_c, tc[..., 1:4], tc[..., 4:6], tc[..., 6:9],
-        jnp.round(tc[..., 10]).astype(jnp.int32),
-        geom.textures, geom.tex_wh,
-        frame.light_pos, frame.light_int,
-        active_types=active_types,
-    )
-    live_px = (tc[..., 11] > 0.5) & slot_ok[:, None, None]
-    rgb_c = jnp.where(live_px[..., None], rgb_c, 0.0)
-
-    out_b = jnp.zeros((nb, bh, bw, 3))
-    tgt = jnp.where(slot_ok, perm, nb)            # dead slots scatter out
-    out_b = out_b.at[tgt].set(rgb_c, mode="drop")
-    img = (
-        out_b.reshape(gby, gbx, bh, bw, 3)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(height, width, 3)
-    )
-
     n_live_total = jnp.sum(blk_live.astype(jnp.int32))
 
-    def overflow_fix(_):
-        # exact full-width epilogue for blocks beyond the cap
-        in_compact_b = jnp.zeros((nb + 1,), jnp.bool_).at[tgt].set(
-            True, mode="drop"
-        )[:nb]
-        in_compact = jnp.broadcast_to(
-            in_compact_b.reshape(gby, 1, gbx, 1), (gby, bh, gbx, bw)
-        ).reshape(height, width)
+    def compact_pass(cap):
+        def run(_):
+            perm, n_act = compact_perm(blk_live, cap)
+            slot_ok = jnp.arange(cap, dtype=jnp.int32) < n_act
+            tc = tab_b[perm]                      # (cap, bh, bw, 12)
+            by = (perm // gbx).astype(jnp.float32)[:, None, None]
+            bx = (perm % gbx).astype(jnp.float32)[:, None, None]
+            yy = row0_f + by * bh + jax.lax.broadcasted_iota(
+                jnp.int32, (cap, bh, bw), 1
+            ).astype(jnp.float32)
+            xx = bx * bw + jax.lax.broadcasted_iota(
+                jnp.int32, (cap, bh, bw), 2
+            ).astype(jnp.float32)
+            pos_c = jnp.stack([xx, yy, tc[..., 0]], axis=-1)
+            rgb_c = sh.shade_fragments(
+                jnp.round(tc[..., 9]).astype(jnp.int32),
+                frame.eye, pos_c, tc[..., 1:4], tc[..., 4:6], tc[..., 6:9],
+                jnp.round(tc[..., 10]).astype(jnp.int32),
+                geom.textures, geom.tex_wh,
+                frame.light_pos, frame.light_int,
+                active_types=active_types,
+            )
+            live_px = (tc[..., 11] > 0.5) & slot_ok[:, None, None]
+            rgb_c = jnp.where(live_px[..., None], rgb_c, 0.0)
+            out_b = jnp.zeros((nb, bh, bw, 3))
+            tgt = jnp.where(slot_ok, perm, nb)    # dead slots drop out
+            out_b = out_b.at[tgt].set(rgb_c, mode="drop")
+            return (
+                out_b.reshape(gby, gbx, bh, bw, 3)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(height, width, 3)
+            )
+        return run
+
+    def full_width(_):
         yyf = row0_f + jax.lax.broadcasted_iota(
             jnp.int32, (height, width), 0
         ).astype(jnp.float32)
@@ -373,17 +369,19 @@ def _deferred_shade_compact(
             frame.light_pos, frame.light_int,
             active_types=active_types,
         )
-        return jnp.where(
-            (covered & ~in_compact)[..., None], rgb_f, 0.0
-        )
+        return jnp.where(covered[..., None], rgb_f, 0.0)
 
-    img = img + jax.lax.cond(
-        n_live_total > cap,
-        overflow_fix,
-        lambda _: jnp.zeros((height, width, 3)),
-        None,
+    caps = sorted(
+        {max(64, int(nb * f)) for f in cap_fracs if int(nb * f) < nb}
     )
-    return img
+    img = full_width
+    for cap in reversed(caps):
+        img = (
+            lambda cap, nxt: lambda _: jax.lax.cond(
+                n_live_total <= cap, compact_pass(cap), nxt, None
+            )
+        )(cap, img)
+    return img(None)
 
 
 def _raster_backend() -> str:

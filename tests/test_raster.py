@@ -224,3 +224,62 @@ def test_render_raster_frame_stats_plumbing(monkeypatch):
     )
     assert int(stats["bin_dropped"]) == 0
     assert img.shape == (64, 64, 3)
+
+
+def test_deferred_shade_tiers_exact():
+    """The adaptive two-tier deferred shading must reproduce the
+    full-width epilogue at every coverage regime (tier 1, tier 2, and
+    the full-width fall-through) — per-pixel shading math is identical,
+    only the set of shaded lanes changes (tolerance: XLA re-fuses the
+    FMA chains differently per program shape, ~1e-7 relative)."""
+    import numpy as np
+
+    from software_rasterizer_tpu.models import PointLight, Scene
+    from software_rasterizer_tpu.ops import shading as sh
+    from software_rasterizer_tpu.ops.raster import _deferred_shade_compact
+    from software_rasterizer_tpu.ops.shading import ShaderType
+
+    H = W = 256  # nb = 64 blocks; tiers (0.1875, 0.5) -> caps (64 -> skip), ...
+    # build a tiny scene container for geom/frame light tables
+    scene = Scene("T", eye=(0.0, 0.0, -1.0))
+    scene.add_light("L", PointLight((0.5, 0.5, -0.5), (10.0, 10.0, 10.0)))
+    scene.set_projection_matrix(45.0, 0.1, 100.0)
+    scene.set_ndc_matrix(W, H)
+    geom = scene.raster_geometry()
+    frame = scene.raster_frame()
+
+    rng = np.random.RandomState(0)
+    best_z = jnp.asarray(rng.rand(H, W).astype(np.float32))
+    normal = jnp.asarray(rng.rand(H, W, 3).astype(np.float32) - 0.5)
+    uv = jnp.asarray(rng.rand(H, W, 2).astype(np.float32))
+    color = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    stype = jnp.full((H, W), int(ShaderType.PHONG), jnp.int32)
+    tex = jnp.full((H, W), -1, jnp.int32)
+    active = (int(ShaderType.PHONG),)
+
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W))
+    xx = jnp.ones((H, 1)) * jnp.arange(W, dtype=jnp.float32)[None, :]
+    rgb_ref = sh.shade_fragments(
+        stype, frame.eye, jnp.stack([xx, yy, best_z], -1), normal, uv,
+        color, tex, geom.textures, geom.tex_wh, frame.light_pos,
+        frame.light_int, active_types=active,
+    )
+
+    # coverage regimes: 2 blocks live (tier 1), ~40% (tier 2), ~90% (full)
+    nbW = W // 128
+    for frac in (0.02, 0.4, 0.9):
+        blk = rng.rand(H // 8, nbW) < frac
+        covered = jnp.asarray(
+            np.repeat(np.repeat(blk, 8, axis=0), 128, axis=1)
+        )
+        # small per-pixel holes inside live blocks too
+        covered = covered & jnp.asarray(rng.rand(H, W) < 0.9)
+        img = _deferred_shade_compact(
+            covered, best_z, normal, uv, color, stype, tex,
+            geom, frame, H, W, active,
+            cap_fracs=(0.1, 0.5),
+        )
+        want = jnp.where(covered[..., None], rgb_ref, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
