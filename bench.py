@@ -104,13 +104,52 @@ def bench_raster(width, height, n_frames):
         seq_ms.append((_t.time() - t0) / n_frames * 1e3)
     seq_ms.sort()
     med = seq_ms[len(seq_ms) // 2]
-    p10, p90 = seq_ms[0], seq_ms[-1]
 
-    # pipelined throughput (independent frames in flight) — separate
-    t0 = _t.time()
-    outs = [render_one(fr) for fr in bundles]
-    np.asarray(outs[-1][0, 0, 0])
-    pipe_fps = n_frames / (_t.time() - t0)
+    # TRUE per-frame percentiles (BASELINE.md rows are per-frame): for
+    # each rotated frame, a data-dependent chain of `reps` repetitions
+    # of THAT frame; wall/reps = that frame's sequential render time.
+    # Percentiles are then over the per-frame times across the rotation
+    # sweep — the same distribution the reference's 1000-frame
+    # per-draw() timing captures (README.md:629-642).
+    reps = 20
+    per_frame_ms = []
+    for fr in bundles:
+        rep = jax.tree_util.tree_map(
+            lambda a: jnp.stack([a] * reps), fr
+        )
+        walls = []
+        for _ in range(2):
+            t0 = _t.time()
+            np.asarray(render_chain(rep))
+            walls.append(_t.time() - t0)
+        per_frame_ms.append(min(walls) / reps * 1e3)
+    pf = np.asarray(per_frame_ms)
+    p10 = float(np.percentile(pf, 10))
+    p90 = float(np.percentile(pf, 90))
+
+    # amortized production throughput: ONE dispatch renders all frames
+    # (render/rasterizer.TraditionalRasterizer.draw_batch — jitted
+    # lax.map over the stacked frame bundles, bit-identical per frame to
+    # individual draws, tests/test_raster.py). Per-dispatch launch cost
+    # (~26-32 ms tunnel sync on this platform) amortizes over n_frames.
+    @jax.jit
+    def render_batch(st):
+        return jax.lax.map(
+            lambda fr: render_raster_frame(
+                geom, fr, height, width, active_types=active
+            )[0],
+            st,
+        )
+
+    imgs = render_batch(stacked)
+    np.asarray(imgs[:, 0, 0, 0])        # compile + warm
+    bt = []
+    for _ in range(5):
+        t0 = _t.time()
+        imgs = render_batch(stacked)
+        np.asarray(imgs[:, 0, 0, 0])    # forces all K frames complete
+        bt.append(_t.time() - t0)
+    pipe_fps = n_frames / min(bt)
 
     # host-blocked single-call latency (includes platform sync)
     lat = []
@@ -130,9 +169,15 @@ def bench_raster(width, height, n_frames):
         "median_ms": round(med, 3),
         "p10_ms": round(p10, 3),
         "p90_ms": round(p90, 3),
+        "percentile_methodology": "per-frame repetition chains "
+                                  f"({reps} reps/frame), percentiles "
+                                  "across the rotation sweep",
         "methodology": "on-device sequential chain of rotated frames "
                        "(data-dependent scan), wall/n over 5 runs",
         "throughput_fps": round(pipe_fps, 2),
+        "throughput_methodology": "ONE lax.map dispatch over all frames "
+                                  "(draw_batch), wall incl. launch sync "
+                                  "/ n_frames, best of 5",
         "lat_blocked_ms": round(statistics.median(lat), 2),
         "n_frames": n_frames,
         "first_call_s": round(compile_s, 3),
@@ -259,11 +304,14 @@ def bench_path(width, height, spp, repeats):
 
 
 def bench_stress(width, height, repeats):
-    """Scaling-path proof (VERDICT r1 item 6): nearest-hit primary-ray
-    sweep on the 318K-triangle tessellated bunny, chunk-culled vs
-    unculled brute force. Not part of the default run (BENCH_MODE=stress):
-    the reference has no comparable workload — this measures OUR scaling
-    claim, reported as the culled/brute speedup factor."""
+    """Scaling-path proof: nearest-hit primary-ray sweep on the
+    318K-triangle tessellated bunny. Measures the PRODUCTION backend for
+    this size (the HBM-streaming mm2s kernel, ops/pallas_trace), the
+    blocked XLA chunk-cull sweep, and unculled brute force — all
+    verified exact against each other. Not part of the default run
+    (BENCH_MODE=stress): the reference has no comparable workload
+    (its BVH recursion scales logarithmically,
+    BVHAcceleration.cpp:103-140 — this is OUR large-scene tier)."""
     import time as _t
 
     import jax
@@ -271,8 +319,12 @@ def bench_stress(width, height, repeats):
 
     from software_rasterizer_tpu.ops.camera import camera_rays
     from software_rasterizer_tpu.ops.intersect import (
+        MM2_CHUNK,
         _intersect_tri_raw,
         prepare_rt_scene,
+    )
+    from software_rasterizer_tpu.ops.pallas_trace import (
+        trace_nearest_mm2_stream,
     )
     from software_rasterizer_tpu.scenes.stress import build_stress_scene
 
@@ -283,18 +335,33 @@ def bench_stress(width, height, repeats):
         jax.device_put, prepare_rt_scene(geom, scene.rt_frame())
     )
     n_tri = int(np.asarray(geom.face_valid).sum())
+    # TILE-order rays (16x128 pixel tiles): per-block chunk culling needs
+    # 2-D ray locality — row-order blocks span two full image rows and
+    # enter nearly every chunk (ops/whitted.whitted_render does the same)
     orig, d = camera_rays(rt.eye, scene.fovy, width, height)
+    th, tw = 16, 128
+    if height % th == 0 and width % tw == 0:
+        import jax.numpy as jnp
+
+        pid = (
+            jnp.arange(height * width, dtype=jnp.int32)
+            .reshape(height // th, th, width // tw, tw)
+            .transpose(0, 2, 1, 3).reshape(-1)
+        )
+        orig, d = orig[pid], d[pid]
     orig, d = jax.device_put(orig), jax.device_put(d)
 
-    import functools
+    def timed(f):
+        idx = np.asarray(f(orig, d)[1]).reshape(-1)
+        ts = []
+        for _ in range(repeats):
+            t0 = _t.time()
+            r = f(orig, d)
+            np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[0]
+            ts.append(_t.time() - t0)
+        return min(ts), idx
 
-    import jax.numpy as jnp
-
-    def run(cull, block=8192):
-        # blocked sweep (the production shape, ops/whitted
-        # blocked_nearest_hit): per-chunk culling needs RAY LOCALITY —
-        # an any() over the full frame enters every chunk some ray
-        # touches, which at full width is all of them
+    def xla_sweep(cull, block=8192):
         def blocked(o, dd):
             nb = o.shape[0] // block
             return jax.lax.map(
@@ -304,22 +371,59 @@ def bench_stress(width, height, repeats):
                 ),
                 (o.reshape(nb, block, 3), dd.reshape(nb, block, 3)),
             )
+        return jax.jit(blocked)
 
-        f = jax.jit(blocked)
-        hit, idx = f(orig, d)
-        np.asarray(idx[0, 0])
-        ts = []
-        for _ in range(repeats):
-            t0 = _t.time()
-            hit, idx = f(orig, d)
-            np.asarray(idx[0, 0])
-            ts.append(_t.time() - t0)
-        return min(ts), idx
+    mm2s = jax.jit(lambda o, dd: trace_nearest_mm2_stream(
+        rt.mt_coef, rt.chunk_lo, rt.chunk_hi, o, dd, chunk=MM2_CHUNK,
+        block=2048, interpret=jax.default_backend() != "tpu",
+    ))
 
-    t_cull, idx_c = run(True)
-    t_brute, idx_b = run(False)
-    exact = bool(np.array_equal(np.asarray(idx_c), np.asarray(idx_b)))
-    mrays = width * height / t_cull / 1e6
+    t_s, idx_s = timed(mm2s)
+    t_cull, idx_c = timed(xla_sweep(True))
+    t_brute, idx_b = timed(xla_sweep(False))
+    exact_xla = bool(np.array_equal(idx_c, idx_b))
+
+    # mm2s winner check is TIE-AWARE: the MXU HIGHEST matmul of the
+    # 13-feature bilinear form rounds differently (last-ULP) than XLA's
+    # f32 Moller-Trumbore, so at shared edges of the tessellated bunny
+    # a handful of rays (measured: 2 of 262144 at 512^2) flip between
+    # the two coincident winners — t agrees to 7 significant digits.
+    # Count such flips, verify each IS a tie (winner t within 1e-4
+    # rel), and report the count; any non-tie mismatch fails exactness.
+    mism = np.where(idx_s != idx_b)[0]
+    ties_ok = True
+    max_rel = 0.0
+    if mism.size:
+        o_np = np.asarray(orig)[mism]
+        d_np = np.asarray(d)[mism]
+        v0 = np.asarray(rt.v0)
+        v1 = np.asarray(rt.v1)
+        v2 = np.asarray(rt.v2)
+
+        def _t_of(fi, k):
+            if fi < 0:
+                return None
+            e1 = v1[fi] - v0[fi]
+            e2 = v2[fi] - v0[fi]
+            p = np.cross(d_np[k], e2)
+            det = float(np.dot(e1, p))
+            if abs(det) < 1e-12:
+                return None
+            q = np.cross(o_np[k] - v0[fi], e1)
+            return float(np.dot(e2, q)) / det
+
+        for k in range(mism.size):
+            ta = _t_of(int(idx_s[mism[k]]), k)
+            tb = _t_of(int(idx_b[mism[k]]), k)
+            if ta is None or tb is None:
+                ties_ok = False
+                break
+            rel = abs(ta - tb) / max(abs(tb), 1e-12)
+            max_rel = max(max_rel, rel)
+            if rel > 1e-4:
+                ties_ok = False
+    exact = exact_xla and ties_ok
+    mrays = width * height / t_s / 1e6
     _emit({
         "metric": "stress_trace_throughput",
         "value": round(mrays, 3),
@@ -327,10 +431,13 @@ def bench_stress(width, height, repeats):
         "vs_baseline": None,
         "config": f"{width}x{height} primary rays, {n_tri} tris",
         "device": str(jax.devices()[0]),
-        "culled_s": round(t_cull, 4),
+        "mm2s_s": round(t_s, 4),
+        "xla_culled_s": round(t_cull, 4),
         "brute_s": round(t_brute, 4),
-        "cull_speedup": round(t_brute / t_cull, 2),
+        "mm2s_speedup_vs_brute": round(t_brute / t_s, 2),
         "exact_vs_brute": exact,
+        "mm2s_tie_flips": int(mism.size),
+        "mm2s_tie_max_rel_t_err": float(f"{max_rel:.3g}"),
     })
 
 

@@ -26,6 +26,7 @@ from software_rasterizer_tpu.ops.pallas_trace import (
     mt_tri_table,
     trace_nearest_mm,
     trace_nearest_mm2,
+    trace_nearest_mm2_stream,
     trace_nearest_vpu,
 )
 
@@ -41,16 +42,18 @@ BIG = jnp.float32(1e30)
 #   <= MM_TRACE_MAX_TRIS: chunk-culled MXU matmul kernel (mm2) —
 #       per-ray-block slab culling over BVH-ordered 128-tri chunks,
 #       whole coefficient table VMEM-resident, HIGHEST precision
-#       matmuls (Mosaic rejects 3-pass bf16 HIGH). The kernel's cull
-#       mask supports 1024 chunks (128K tris), but measured crossover
-#       vs the blocked XLA sweep is ~16-20K tris (mm2 68 ms == XLA
-#       70 ms per 262K rays at 20K tris on v5e) and the Mosaic compile
-#       of the 622-chunk variant fails — the tier stays at the proven
-#       16K. Above it the blocked XLA sweep wins anyway.
-#   SRT_MM_TRACE=1 forces the UNCULLED mm kernel (benchmarks/tests).
+#       matmuls (Mosaic rejects 3-pass bf16 HIGH).
+#   <= MM2S_TRACE_MAX_TRIS: the HBM-STREAMING variant (mm2s) — same
+#       math, coefficient chunks double-buffer-DMAed from HBM per
+#       listed chunk, so the VMEM residency cap disappears; bounded
+#       only by the cull-mask capacity (mask_rows*128 chunks).
+#   above: the blocked XLA chunk-cull sweep (exact, unbounded).
+#   SRT_MM_TRACE=1 forces the UNCULLED mm kernel (benchmarks/tests);
+#   SRT_MM_TRACE=mm2s forces the streaming kernel.
 VPU_TRACE_MAX_TRIS = 1024
 MM_TRACE_MAX_TRIS = 16384
-MM2_CHUNK = 128   # culling granule of the mm2 trace kernel
+MM2_CHUNK = 128   # culling granule of the mm2 trace kernels
+MM2S_TRACE_MAX_TRIS = 4096 * MM2_CHUNK   # 4096-chunk cull-mask capacity
 
 
 def _trace_backend(f_pad: int) -> str:
@@ -67,9 +70,13 @@ def _trace_backend(f_pad: int) -> str:
         return "vpu"
     if flag == "1":
         return "mm"
-    if not on_tpu or f_pad > MM_TRACE_MAX_TRIS:
+    if flag == "mm2s":
+        return "mm2s"
+    if not on_tpu or f_pad > MM2S_TRACE_MAX_TRIS:
         return "xla"
-    return "vpu" if f_pad <= VPU_TRACE_MAX_TRIS else "mm2"
+    if f_pad <= VPU_TRACE_MAX_TRIS:
+        return "vpu"
+    return "mm2" if f_pad <= MM_TRACE_MAX_TRIS else "mm2s"
 
 
 class RTScene(NamedTuple):
@@ -476,6 +483,11 @@ def _trace_tris(scene: RTScene, orig, d, chunk: int):
         )
     if backend == "mm2":
         return trace_nearest_mm2(
+            scene.mt_coef, scene.chunk_lo, scene.chunk_hi, orig, d,
+            chunk=MM2_CHUNK, block=2048, interpret=interp,
+        )
+    if backend == "mm2s":
+        return trace_nearest_mm2_stream(
             scene.mt_coef, scene.chunk_lo, scene.chunk_hi, orig, d,
             chunk=MM2_CHUNK, block=2048, interpret=interp,
         )

@@ -376,7 +376,8 @@ def chunk_bounds(v0, v1, v2, valid, chunk: int):
     )
 
 
-def _cull_prepass_kernel(cab_ref, o_ref, d_ref, m_ref, *, nc: int):
+def _cull_prepass_kernel(cab_ref, o_ref, d_ref, m_ref, *, nc: int,
+                         mask_rows: int):
     """Per-ray-block chunk mask: m[c] = any ray of this block enters
     chunk c's AABB (exact ops/bvh.slab_test semantics, so culling is
     identical to the XLA prepass). Replaces the (N_pad, nc) slab plane
@@ -387,29 +388,34 @@ def _cull_prepass_kernel(cab_ref, o_ref, d_ref, m_ref, *, nc: int):
     ix = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     iy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
     iz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-    # the mask plane holds up to 8*128 = 1024 chunk bits: bit c lives at
-    # (c // 128, c % 128)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    # the mask plane holds up to mask_rows*128 chunk bits: bit c lives
+    # at (c // 128, c % 128)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (mask_rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (mask_rows, 128), 1)
 
     def body(c, row):
-        t0 = (cab_ref[c, 0] - ox) * ix
-        t1 = (cab_ref[c, 3] - ox) * ix
+        # cab is (6, nc): rows lo_xyz|hi_xyz — nc on the MINOR axis, so
+        # the SMEM window pads 6 x pad128(nc) words instead of nc x 128
+        # (an (nc, 6) layout exceeds the 1 MB SMEM limit past ~2K chunks)
+        t0 = (cab_ref[0, c] - ox) * ix
+        t1 = (cab_ref[3, c] - ox) * ix
         tmin = jnp.minimum(t0, t1)
         tmax = jnp.maximum(t0, t1)
-        t0 = (cab_ref[c, 1] - oy) * iy
-        t1 = (cab_ref[c, 4] - oy) * iy
+        t0 = (cab_ref[1, c] - oy) * iy
+        t1 = (cab_ref[4, c] - oy) * iy
         tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
         tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
-        t0 = (cab_ref[c, 2] - oz) * iz
-        t1 = (cab_ref[c, 5] - oz) * iz
+        t0 = (cab_ref[2, c] - oz) * iz
+        t1 = (cab_ref[5, c] - oz) * iz
         tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
         tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
         hit = jnp.any(tmax >= jnp.maximum(tmin, 0.0))
         sel = (sub == c // 128) & (lane == c % 128)
         return jnp.where(sel & hit, 1, row)
 
-    m_ref[0] = jax.lax.fori_loop(0, nc, body, jnp.zeros((8, 128), jnp.int32))
+    m_ref[0] = jax.lax.fori_loop(
+        0, nc, body, jnp.zeros((mask_rows, 128), jnp.int32)
+    )
 
 
 def _cull_prepass(chunk_lo, chunk_hi, orig, d, block: int,
@@ -417,15 +423,18 @@ def _cull_prepass(chunk_lo, chunk_hi, orig, d, block: int,
     """(nb, nc) bool per-block chunk overlap via the Pallas kernel.
     orig/d must already be padded to nb*block rows."""
     nc = chunk_lo.shape[0]
-    assert nc <= 1024, nc
+    mask_rows = max(8, -(-nc // 128))
     n = orig.shape[0]
     nb = n // block
     rows = block // 128
-    cab = jnp.concatenate([chunk_lo, chunk_hi], axis=1).astype(jnp.float32)
+    cab = jnp.concatenate(
+        [chunk_lo.T, chunk_hi.T], axis=0
+    ).astype(jnp.float32)                                # (6, nc)
     oc = orig.T.reshape(3, nb * rows, 128)
     dc = d.T.reshape(3, nb * rows, 128)
     m = pl.pallas_call(
-        functools.partial(_cull_prepass_kernel, nc=nc),
+        functools.partial(_cull_prepass_kernel, nc=nc,
+                          mask_rows=mask_rows),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -434,12 +443,12 @@ def _cull_prepass(chunk_lo, chunk_hi, orig, d, block: int,
             pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, mask_rows, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nb, mask_rows, 128), jnp.int32),
         interpret=interpret,
     )(cab, oc, dc)
-    return m.reshape(nb, 1024)[:, :nc] != 0
+    return m.reshape(nb, mask_rows * 128)[:, :nc] != 0
 
 
 def _trace_kernel2(cnt_ref, lst_ref, coef_ref, phi_ref, t_ref, f_ref, *,
@@ -595,6 +604,192 @@ def trace_nearest_mm2(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
         ],
         # the (chunk, block) running-best planes + the (4*chunk, block)
         # product push scoped VMEM past the 16M default
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(counts, lists[:, None, :], coef_c, phi)
+    t = t.reshape(-1)[:n]
+    fi = fi.reshape(-1)[:n]
+    hit = t < BIG
+    return hit, jnp.where(hit, fi, -1)
+
+
+def _trace_kernel3(cnt_ref, lst_ref, coef_hbm, phi_ref, t_ref, f_ref,
+                   buf_ref, sem_ref, *, chunk: int,
+                   precision=jax.lax.Precision.HIGHEST):
+    """HBM-STREAMING culled sweep: like `_trace_kernel2`, but the
+    coefficient table stays in HBM and each listed chunk's (4C, 13)
+    block is DMAed into a double-buffered VMEM scratch one step ahead
+    of its matmul — the VMEM-residency cap that pinned mm2 at ~16K
+    triangles disappears (the table streams at ~26 KB/chunk, trivially
+    hidden behind the (4C x Nblk) matmul)."""
+    b = pl.program_id(0)
+    cnt = cnt_ref[b]
+    phi = phi_ref[...]
+    n = phi.shape[1]
+
+    rows4 = buf_ref.shape[2]          # 4*chunk coefficient columns
+
+    def dma(j, slot):
+        # coef_hbm is FEATURE-MAJOR (16, nc*4C) — features padded
+        # 13 -> 16 with zero rows (an HBM slice's sublane extent must be
+        # 8-aligned) — so the dynamic slice runs along the MINOR axis at
+        # 4*chunk (= 512, 128-aligned) offsets. Mosaic rejects a
+        # row-range slice of an (nc*4C, 13) layout outright (the
+        # sliced-away minor dim isn't lane-aligned).
+        c = lst_ref[0, 0, j]
+        return pltpu.make_async_copy(
+            coef_hbm.at[:, pl.ds(c * rows4, rows4)],
+            buf_ref.at[slot], sem_ref.at[slot],
+        )
+
+    @pl.when(cnt > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(j, carry):
+        best_t, best_f = carry                                   # (C, Nblk)
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < cnt)
+        def _():
+            dma(j + 1, 1 - slot).start()
+
+        dma(j, slot).wait()
+        c = lst_ref[0, 0, j]
+        prod = jax.lax.dot_general(
+            buf_ref[slot], phi,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # (4C, Nblk): contraction over the 13 features of both
+        up = prod[0:chunk]
+        vp = prod[chunk:2 * chunk]
+        tp = prod[2 * chunk:3 * chunk]
+        det = prod[3 * chunk:4 * chunk]
+        absd = jnp.abs(det)
+        inv = 1.0 / jnp.where(absd < 1e-6, 1.0, det)
+        u = up * inv
+        v = vp * inv
+        t = tp * inv
+        ok = (
+            (absd >= 1e-6)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= 1e-6)
+        )
+        tm = jnp.where(ok, t, 1e30)
+        rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        fm = rows + c * chunk
+        better = tm < best_t
+        return (
+            jnp.where(better, tm, best_t),
+            jnp.where(better, fm, best_f),
+        )
+
+    init = (
+        jnp.full((chunk, n), 1e30, jnp.float32),
+        jnp.full((chunk, n), 0x7FFFFFFF, jnp.int32),
+    )
+    best_t, best_f = jax.lax.fori_loop(0, cnt, body, init)
+    ct = jnp.min(best_t, axis=0, keepdims=True)                  # (1, Nblk)
+    cf = jnp.min(
+        jnp.where(best_t == ct, best_f, jnp.int32(0x7FFFFFFF)),
+        axis=0, keepdims=True,
+    )
+    miss = ct >= 1e30
+    t_ref[0] = ct
+    f_ref[0] = jnp.where(miss, -1, cf)
+
+
+def trace_nearest_mm2_stream(coef, chunk_lo, chunk_hi, orig, d,
+                             chunk: int = 128, block: int = 2048,
+                             interpret: bool = False, cull: bool = True):
+    """Chunk-culled nearest-triangle sweep with the coefficient table
+    streamed from HBM (double-buffered per-chunk DMA) — the large-scene
+    tier above `trace_nearest_mm2`'s ~16K-triangle VMEM residency cap.
+    Identical math, thresholds, and tie rules to mm2; supports up to
+    the cull-mask limit of mask_rows*128 chunks (sized from nc).
+
+    coef: (4F, 13) from `mt_tri_coef`; chunk_lo/hi: (nc, 3) from
+    `chunk_bounds` with the SAME chunk size.
+    """
+    f4 = coef.shape[0]
+    f = f4 // 4
+    n = orig.shape[0]
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad != n:
+        orig = jnp.pad(orig, ((0, n_pad - n), (0, 0)))
+        d = jnp.pad(d, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    phi = mt_ray_features(orig, d, transposed=True)      # (13, N_pad)
+
+    if f % chunk:
+        pad = chunk - f % chunk
+        cf = coef.reshape(4, f, N_FEATURES)
+        cf = jnp.pad(cf, ((0, 0), (0, pad), (0, 0)))
+        coef = cf.reshape(4 * (f + pad), N_FEATURES)
+        f += pad
+    nc = f // chunk
+    assert chunk_lo.shape[0] == nc, (chunk_lo.shape, nc)
+    coef_c = (
+        coef.reshape(4, nc, chunk, N_FEATURES)
+        .transpose(1, 0, 2, 3)
+        .reshape(nc, 4 * chunk, N_FEATURES)
+    )
+
+    if cull:
+        ov = _cull_prepass(chunk_lo, chunk_hi, orig, d, block,
+                           interpret=interpret)          # (nb, nc)
+        pos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1
+        counts = jnp.sum(ov.astype(jnp.int32), axis=1)
+        tgt = jnp.where(ov, pos, nc)
+        lists = jnp.zeros((nb, nc), jnp.int32)
+        src = jnp.broadcast_to(
+            jnp.arange(nc, dtype=jnp.int32)[None, :], (nb, nc)
+        )
+        lists = jax.vmap(
+            lambda l, tg, s: l.at[tg].set(s, mode="drop")
+        )(lists, tgt, src)
+    else:
+        counts = jnp.full((nb,), nc, jnp.int32)
+        lists = jnp.broadcast_to(
+            jnp.arange(nc, dtype=jnp.int32)[None, :], (nb, nc)
+        )
+
+    # feature-major flat table (16, nc*4C): per-chunk DMA slices the
+    # minor axis at 4*chunk-aligned offsets; features padded 13 -> 16
+    # so the DMA's sublane extent is 8-aligned (see _trace_kernel3.dma)
+    coef_c = jnp.pad(
+        coef_c.reshape(nc * 4 * chunk, N_FEATURES).T,
+        ((0, 16 - N_FEATURES), (0, 0)),
+    )
+    phi = jnp.pad(phi, ((0, 16 - N_FEATURES), (0, 0)))   # (16, N_pad)
+
+    t, fi = pl.pallas_call(
+        functools.partial(_trace_kernel3, chunk=chunk),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # counts
+            pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),                 # chunk list
+            pl.BlockSpec(memory_space=pl.ANY),                     # coef (HBM)
+            pl.BlockSpec((16, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, 4 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(counts, lists[:, None, :], coef_c, phi)

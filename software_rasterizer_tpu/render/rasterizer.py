@@ -26,13 +26,16 @@ class TraditionalRasterizer(RenderingPipeline):
         self.chunk = chunk
         self._geom_cache: Dict[str, RasterGeometry] = {}
         self._geom_rev: Dict[str, int] = {}
+        self._batch_fns: Dict[str, object] = {}
 
     def invalidate(self, scene_name: Optional[str] = None):
         """Drop cached geometry (call after adding/removing meshes)."""
         if scene_name is None:
             self._geom_cache.clear()
+            self._batch_fns.clear()
         else:
             self._geom_cache.pop(scene_name, None)
+            self._batch_fns.pop(scene_name, None)
 
     def _geometry(self, scene: Scene):
         entry = self._geom_cache.get(scene.name)
@@ -43,7 +46,47 @@ class TraditionalRasterizer(RenderingPipeline):
             entry = (g, active)
             self._geom_cache[scene.name] = entry
             self._geom_rev[scene.name] = len(scene.meshes())
+            # the batched-dispatch closure captures geom — rebuild it
+            self._batch_fns.pop(scene.name, None)
         return entry
+
+    def draw_batch(self, scene: Scene, frames):
+        """Render K frames of one scene in ONE device dispatch.
+
+        `frames`: list of `RasterFrame` bundles (scene.raster_frame()
+        captured after each per-frame matrix update — the batched analog
+        of the reference's rotate-then-draw loop, main.cpp:113-175).
+        Returns (images (K,H,W,3) f32, zbufs (K,H,W) f32) as device
+        arrays (np.asarray to fetch).
+
+        Why: one dispatch per frame pays the host->device launch cost
+        per frame (~26-32 ms through this platform's tunnel — more than
+        the 7 ms render itself). Batching K frames into one jitted
+        lax.map amortizes it to ~nothing; frames are independent, and
+        each (image, zbuf) pair is bit-identical to a draw() of the
+        same matrices (asserted in tests/test_raster.py)."""
+        import jax.numpy as jnp
+
+        geom, active = self._geometry(scene)
+        stacked = jax.tree_util.tree_map(
+            lambda *a: jnp.stack([jnp.asarray(x) for x in a]), *frames
+        )
+
+        run = self._batch_fns.get(scene.name)
+        if run is None:
+            def run(st, geom=geom, active=active):
+                return jax.lax.map(
+                    lambda fr: render_raster_frame(
+                        geom, fr, self.height, self.width,
+                        tile=self.tile, chunk=self.chunk,
+                        active_types=active,
+                    ),
+                    st,
+                )
+            run = jax.jit(run)
+            self._batch_fns[scene.name] = run
+
+        return run(stacked)
 
     def draw(self, primitive: Primitive = Primitive.TRIANGLES):
         if primitive not in (Primitive.LINES, Primitive.TRIANGLES):

@@ -314,3 +314,43 @@ def test_trace_nearest_mm2_many_chunks():
     assert (np.asarray(hit1) == np.asarray(hit2)).all()
     assert (np.asarray(i1) == np.asarray(i2)).all()
     assert int(np.asarray(hit1).sum()) > 0
+
+
+def test_trace_nearest_mm2_stream_matches_brute():
+    """The HBM-streaming kernel (double-buffered per-chunk coefficient
+    DMA) must agree exactly with the XLA brute sweep, including above
+    1024 chunks (the old cull-mask cap: bit c at (c//128, c%128) of the
+    now-size-derived mask plane). 1100 chunks of 16 tris, interpret
+    mode."""
+    import numpy as np
+
+    from software_rasterizer_tpu.ops.pallas_trace import (
+        chunk_bounds, mt_tri_coef, trace_nearest_mm2_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    F, N = 16 * 1100, 256
+    centers = rng.rand(F, 1, 3) * np.array([60.0, 2.0, 2.0]) - 1.0
+    tri = centers + rng.rand(F, 3, 3) * 0.4
+    v0 = jnp.asarray(tri[:, 0], jnp.float32)
+    v1 = jnp.asarray(tri[:, 1], jnp.float32)
+    v2 = jnp.asarray(tri[:, 2], jnp.float32)
+    valid = jnp.asarray(rng.rand(F) > 0.05)
+    orig = jnp.asarray(
+        rng.rand(N, 3) * np.array([60.0, 1.0, 1.0]) - np.array([0.0, 0.0, 4.0]),
+        jnp.float32,
+    )
+    d = jnp.asarray(rng.rand(N, 3) * 0.2 + np.array([0.0, 0.0, 1.0]), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    coef = mt_tri_coef(v0, v1, v2, valid)
+    lo, hi = chunk_bounds(v0, v1, v2, valid, 16)
+    assert lo.shape[0] == 1100
+    hit2, i2 = trace_nearest_mm2_stream(
+        coef, lo, hi, orig, d, chunk=16, block=256, interpret=True
+    )
+    hit1, i1, _, _ = intersect_triangles(orig, d, v0, v1, v2, valid, chunk=64)
+    hit1 = jnp.asarray(i1) >= 0
+    assert (np.asarray(hit1) == np.asarray(hit2)).all()
+    assert (np.asarray(i1) == np.asarray(i2)).all()
+    assert int(np.asarray(hit1).sum()) > 0

@@ -283,3 +283,31 @@ def test_deferred_shade_tiers_exact():
         np.testing.assert_allclose(
             np.asarray(img), np.asarray(want), rtol=1e-5, atol=1e-6
         )
+
+
+def test_draw_batch_matches_sequential(demo_scene):
+    """draw_batch (one lax.map dispatch over K frames — the amortized
+    production frame loop) must be BIT-IDENTICAL per frame to draw() of
+    the same matrices (deterministic pipeline, same program per frame)."""
+    render = TraditionalRasterizer(128, 128, tile=(64, 128), chunk=512)
+    render.add_scene(demo_scene)
+
+    frames, goldens = [], []
+    for i in range(3):
+        demo_scene.set_model_matrix(
+            "spot", (0, 1, 0), 140.0 + 25.0 * i, (0.28, 0.1, 0.20), (0.2,) * 3
+        )
+        demo_scene.set_model_matrix(
+            "Crate", (0, 1, 0), 40.0 + 25.0 * i, (0.28, -0.13, 0.15), (0.1,) * 3
+        )
+        frames.append(demo_scene.raster_frame())
+        render.clear()
+        render.draw(Primitive.TRIANGLES)
+        goldens.append((render.frame.copy(), render.zbuffer.copy()))
+
+    imgs, zbufs = render.draw_batch(demo_scene, frames)
+    imgs, zbufs = np.asarray(imgs), np.asarray(zbufs)
+    assert imgs.shape == (3, 128, 128, 3)
+    for i, (gimg, gz) in enumerate(goldens):
+        assert np.array_equal(imgs[i], gimg), f"frame {i} image differs"
+        assert np.array_equal(zbufs[i], gz), f"frame {i} zbuf differs"
