@@ -319,7 +319,7 @@ def bench_stress(width, height, repeats):
 
     from software_rasterizer_tpu.ops.camera import camera_rays
     from software_rasterizer_tpu.ops.intersect import (
-        MM2_CHUNK,
+        _cull_granule,
         _intersect_tri_raw,
         prepare_rt_scene,
     )
@@ -374,7 +374,8 @@ def bench_stress(width, height, repeats):
         return jax.jit(blocked)
 
     mm2s = jax.jit(lambda o, dd: trace_nearest_mm2_stream(
-        rt.mt_coef, rt.chunk_lo, rt.chunk_hi, o, dd, chunk=MM2_CHUNK,
+        rt.mt_coef, rt.chunk_lo, rt.chunk_hi, o, dd,
+        chunk=_cull_granule(rt.v0.shape[0]),
         block=2048, interpret=jax.default_backend() != "tpu",
     ))
 

@@ -96,6 +96,14 @@ class RTGeometry(NamedTuple):
     materials: MaterialTable
     textures: np.ndarray     # (K,Hm,Wm,3)
     tex_wh: np.ndarray       # (K,2)
+    # SHAPE-encoded static flag ((1,) if any EMISSIVE triangle carries a
+    # texture, else (0,)): shapes survive jit tracing, so dispatch gates
+    # (ops/path._fused_auto) can branch on it even when the geometry is
+    # a traced argument. Texture color feeds path tracing ONLY at
+    # emissive hits (Scene.cpp:676-680; the BRDF eval reads material Kd,
+    # Material.cpp:60), so this is the exact criterion for the fused
+    # kernel's color-is-Kd treatment being exact at bounce >= 1.
+    tex_on_emitter: np.ndarray = np.zeros(0, bool)
 
 
 class RTFrame(NamedTuple):
@@ -456,8 +464,12 @@ class Scene:
         obj_emissive = np.array(
             [o.is_self_emissive() for _, o in objs] or [False], bool
         )
+        toe = bool(np.any(
+            valid & (pad2(tt, fill=-1) >= 0) & obj_emissive[pad2(to)]
+        ))
 
         return RTGeometry(
+            tex_on_emitter=np.zeros(1 if toe else 0, bool),
             positions=pos,
             normals=nrm,
             uvs=uv,

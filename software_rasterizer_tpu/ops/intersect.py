@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from software_rasterizer_tpu.ops.pallas_trace import (
     chunk_bounds,
@@ -52,8 +53,18 @@ BIG = jnp.float32(1e30)
 #   SRT_MM_TRACE=mm2s forces the streaming kernel.
 VPU_TRACE_MAX_TRIS = 1024
 MM_TRACE_MAX_TRIS = 16384
-MM2_CHUNK = 128   # culling granule of the mm2 trace kernels
+MM2_CHUNK = 128    # culling granule of the VMEM-resident mm2 kernel
+MM2S_CHUNK = 256   # coarser granule for the HBM-streaming tier: fewer,
+                   # larger DMAs/matmuls win above ~100K tris (measured
+                   # 318K-tri sweep: 256 beat 128 by 12%, 512-ray DMA
+                   # ~52KB hides fully behind the (1024, 2048) matmul)
 MM2S_TRACE_MAX_TRIS = 4096 * MM2_CHUNK   # 4096-chunk cull-mask capacity
+
+
+def _cull_granule(f_pad: int) -> int:
+    """Chunk granule for prepare_rt_scene's cull AABBs: matches what
+    `_trace_tris` will dispatch for this scene size."""
+    return MM2_CHUNK if f_pad <= MM_TRACE_MAX_TRIS else MM2S_CHUNK
 
 
 def _trace_backend(f_pad: int) -> str:
@@ -133,6 +144,9 @@ class RTScene(NamedTuple):
     tex_wh: jnp.ndarray
     background: jnp.ndarray      # (3,)
     eye: jnp.ndarray             # (3,)
+    # shape-encoded "an emissive triangle is textured" flag ((1,)/(0,));
+    # see models.scene.RTGeometry.tex_on_emitter
+    tex_on_emitter: jnp.ndarray = jnp.zeros(0, bool)
 
 
 def prepare_rt_scene(geom, frame) -> RTScene:
@@ -175,7 +189,8 @@ def prepare_rt_scene(geom, frame) -> RTScene:
 
     _tt, _nt = mt_tri_table(tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid)
     _clo, _chi = chunk_bounds(
-        tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid, MM2_CHUNK
+        tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid,
+        _cull_granule(tv.shape[0]),
     )
     mt = geom.materials
     emitter_order = jnp.argsort(
@@ -184,6 +199,18 @@ def prepare_rt_scene(geom, frame) -> RTScene:
     emitter_cr = jnp.concatenate(
         [centers[emitter_order], radii[emitter_order][:, None]], axis=1
     )
+    # STATIC emitter-count trim: obj_emissive is host data in every real
+    # flow (geometry is built by Scene.rt_geometry and closed over, not
+    # traced), so the emitter table can be cut to the true emitter rows
+    # — a STATIC shape integrators branch on. The 1-emitter case (the
+    # demo scenes and Cornell) then skips the per-sample emitter-pick
+    # machinery entirely (ops/whitted.whitted_phong_direct). Falls back
+    # to the full table if the geometry ever IS traced.
+    try:
+        n_emit_static = int(np.asarray(geom.obj_emissive).sum())
+        emitter_cr = emitter_cr[:max(n_emit_static, 1)]
+    except Exception:
+        pass  # traced geometry: keep the full (padded) table
 
     # packed per-primitive attribute table (tris then spheres) — one
     # one-hot matmul on the MXU replaces ~12 per-winner gathers, which
@@ -252,6 +279,7 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         tri_table=_tt, n_tri=_nt, chunk_lo=_clo, chunk_hi=_chi,
         textures=geom.textures, tex_wh=geom.tex_wh,
         background=frame.background, eye=frame.eye,
+        tex_on_emitter=jnp.asarray(geom.tex_on_emitter),
     )
 
 
@@ -489,7 +517,7 @@ def _trace_tris(scene: RTScene, orig, d, chunk: int):
     if backend == "mm2s":
         return trace_nearest_mm2_stream(
             scene.mt_coef, scene.chunk_lo, scene.chunk_hi, orig, d,
-            chunk=MM2_CHUNK, block=2048, interpret=interp,
+            chunk=_cull_granule(f_pad), block=2048, interpret=interp,
         )
     if backend == "mm":
         return trace_nearest_mm(

@@ -97,18 +97,31 @@ def compact_perm(live, cap: int):
     pos = jnp.cumsum(live.astype(jnp.int32)) - 1
     n_live = jnp.sum(live.astype(jnp.int32))
     perm = jnp.zeros((cap,), jnp.int32)
-    tgt = jnp.where(live, pos, cap)  # dead lanes scatter out of range
+    # dead lanes scatter out of range, each to a DISTINCT index (cap+i):
+    # with every target unique, unique_indices=True lets XLA skip the
+    # serialized duplicate-combining scatter path (measured 4.9 ms ->
+    # ~1 ms at 1M lanes on v5e)
+    tgt = jnp.where(live, pos, cap + jnp.arange(n, dtype=jnp.int32))
     perm = perm.at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
     )
     return perm, n_live
 
 
 def _fused_auto(scene: RTScene) -> bool:
     """Static dispatch for the fused bounce kernel (ops/pallas_path):
-    TPU backend + small UNTEXTURED primitive tables (the fused kernel
-    treats hit color as Kd; textured scenes are detected by atlas shape
-    and fall back to the XLA wavefront)."""
+    TPU backend + small primitive tables + no TEXTURED EMITTER.
+
+    Textures on non-emissive surfaces don't gate the kernel: the path
+    integrator consumes texture color ONLY at emissive hits
+    (Scene.cpp:676-680 returns intersection.color; the BRDF eval reads
+    material Kd, Material.cpp:60). In path_trace the camera hit happens
+    OUTSIDE the kernel with the full texture path and its color plane is
+    handed into kernel state; in the camera kernel every hit shades
+    color-as-Kd. Either way only an EMISSIVE textured primitive can
+    shade wrong, so exactly that case falls back to the XLA wavefront,
+    via the shape-encoded scene.tex_on_emitter flag (static under
+    jit)."""
     import os
 
     flag = os.environ.get("SRT_FUSED_PATH", "auto")
@@ -125,12 +138,7 @@ def _fused_auto(scene: RTScene) -> bool:
         and scene.v0.shape[0] <= 512
         and scene.sph_c.shape[0] <= 64
         and scene.emitter_cr.shape[0] <= 8
-        # untextured scenes carry a (1,1,1,3) dummy atlas; a REAL atlas
-        # is always larger (Scene._texture_atlas pads width to >= 2
-        # precisely so a 1x1 texture cannot alias the dummy) and
-        # disables the fused kernel, whose hit color is Kd (static
-        # shape check, so it works under jit)
-        and scene.textures.size <= 3
+        and scene.tex_on_emitter.shape[0] == 0
     )
 
 

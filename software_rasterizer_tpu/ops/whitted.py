@@ -176,6 +176,18 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
         center, _ = _pick_emitter_center(scene, key, rid, 0)
         return eval_toward(center)
 
+    if scene.emitter_cr.shape[0] == 1:
+        # STATICALLY one emitter (prepare_rt_scene trims the table to
+        # the true emitter count): every per-sample pick lands on it
+        # (picks are floor(u * n_e) clamped to [0, n_e-1]), so the spp
+        # average collapses to v itself — no picks, no counts, ONE
+        # shadow trace. Bit-equal to the resampling loop apart from the
+        # count*v multiply it no longer needs (spp * v / spp == v in
+        # f32 for finite v; v is finite by construction).
+        return eval_toward(
+            jnp.broadcast_to(scene.emitter_cr[0, 0:3], (n, 3))
+        )
+
     # per-sample picks (pure VPU math, no traces) — identical streams to
     # _pick_emitter_center(salt=s)
     n_e_f = jnp.maximum(scene.n_emitters, 1).astype(jnp.float32)
@@ -269,7 +281,8 @@ def whitted_trace(
     n = orig.shape[0]
     img = jnp.zeros((n, 3))
     dropped = jnp.zeros((), jnp.int32)
-    dep_pix, dep_val = [], []
+    dep_bufs = []   # per-depth (cap_d, 3) deposits, depths 1..max
+    links = []      # (perm, n_spec, half): depth-d queue -> its parents
 
     rid0 = (
         jnp.arange(n, dtype=jnp.int32) if pixel_ids is None
@@ -279,7 +292,6 @@ def whitted_trace(
         "orig": orig,
         "dir": d,
         "weight": jnp.ones((n, 3)),
-        "pixel": jnp.arange(n, dtype=jnp.int32),   # lane-order deposits
         # stable RNG identity: absolute PIXEL id at depth 0; children
         # derive 2*rid+{1,2} (collisions only via uint32 wrap — harmless
         # for hashing, deterministic everywhere)
@@ -298,7 +310,6 @@ def whitted_trace(
         t_orig, t_dir = _neuter_dead(live, rays["orig"], rays["dir"])
         hit = blocked_nearest_hit(scene, t_orig, t_dir, block, chunk)
         weight = rays["weight"]
-        pixel = rays["pixel"]
 
         # miss -> background (Scene.cpp:493-497)
         miss = live & ~hit.hit
@@ -322,14 +333,13 @@ def whitted_trace(
         if depth == 0:
             img = img + deposit
         else:
-            # deeper deposits are DEFERRED and merged into ONE scatter
-            # after the loop: per-depth scatter-adds at these target
-            # sizes cost ~1.5 ms/channel/depth. A pixel receiving
-            # radiance from several depths may see a different f32 ADD
+            # deeper deposits are DEFERRED into per-depth buffers and
+            # folded up the PARENT CHAIN after the loop (see below) —
+            # no pixel-indexed scatter ever happens. A pixel receiving
+            # radiance from several depths sees a different f32 ADD
             # ORDER than depth-by-depth accumulation — reassociation
             # only, within the tests' tolerance
-            dep_pix.append(pixel)
-            dep_val.append(deposit)
+            dep_bufs.append(deposit)
 
         if depth == max_depth:
             break  # children would exceed depth cap -> contribute black
@@ -380,7 +390,7 @@ def whitted_trace(
             hit.ior[:, None],
             hit.mat_type.astype(jnp.float32)[:, None],
         ], axis=1)[perm]                                  # (half, 14)
-        p_pix = pixel[perm]
+        links.append((perm, n_spec, half))
         p_rid = rays["rid"][perm]
         c_coords = pf[:, 0:3]
         c_idir = pf[:, 3:6]
@@ -414,7 +424,6 @@ def whitted_trace(
                 c_w * jnp.where(c_glass, kr, 1.0)[:, None],
                 c_w * (1.0 - kr)[:, None],
             ]),
-            "pixel": jnp.concatenate([p_pix, p_pix]),
             "rid": jnp.concatenate([p_rid * 2 + 1, p_rid * 2 + 2]),
             "live": jnp.concatenate([
                 slot_ok,
@@ -422,16 +431,42 @@ def whitted_trace(
             ]),
         }
 
-    if dep_pix:
-        pix = jnp.concatenate(dep_pix)
-        val = jnp.concatenate(dep_val)
-        # per-CHANNEL 1-D scatters: XLA lays the (N,3) image out
-        # column-major ({0,1}), making a row-scatter-add ~70x the cost
-        # of three 1-D scatters on these shapes
-        img = jnp.stack(
-            [img[:, c].at[pix].add(val[:, c]) for c in range(3)],
+    # fold deferred deposits UP THE PARENT CHAIN instead of scattering
+    # them into pixels: a depth-d queue's two halves share their parent
+    # slot (child k and k+half both map to parent lane perm[k]), so each
+    # fold is a SORTED, UNIQUE scatter-add of half_d entries — the
+    # sorted/unique hints let XLA skip the serialized scatter path that
+    # made pixel-indexed deposits cost ~9 ms/channel at 1M entries
+    # (profiled fusion.128-130). Dead slots (k >= n_spec) redirect past
+    # the target (mode="drop"); their deposits are 0 anyway (live-masked)
+    # and redirecting keeps the index stream strictly increasing. At
+    # depth 0 lane i IS pixel i, so the last fold is a plain add.
+    for i in range(len(dep_bufs) - 1, -1, -1):
+        perm, n_spec, half = links[i]
+        v = dep_bufs[i][:half] + dep_bufs[i][half:]
+        parent_cap = n if i == 0 else dep_bufs[i - 1].shape[0]
+        tgt = jnp.where(
+            jnp.arange(half, dtype=jnp.int32) < n_spec,
+            perm,
+            parent_cap + jnp.arange(half, dtype=jnp.int32),
+        )
+        acc = img if i == 0 else dep_bufs[i - 1]
+        # per-CHANNEL 1-D scatters: XLA lays (N,3) out column-major
+        # ({0,1}), making a row scatter ~70x three 1-D ones
+        folded = jnp.stack(
+            [
+                acc[:, c].at[tgt].add(
+                    v[:, c], mode="drop",
+                    unique_indices=True, indices_are_sorted=True,
+                )
+                for c in range(3)
+            ],
             axis=1,
         )
+        if i == 0:
+            img = folded
+        else:
+            dep_bufs[i - 1] = folded
     if with_stats:
         return img, {"dropped_rays": dropped}
     return img

@@ -320,3 +320,49 @@ def test_fused_kernel_emissive_sphere_primary_is_black():
     c = img_f[7, 7], img_x[7, 7]
     np.testing.assert_allclose(c[0], c[1], atol=1e-5)
     assert np.abs(c[1]).max() < 1e-5, c
+
+
+def _textured_cornell(target_mesh: str):
+    """Cornell with a 2x2 in-memory texture bound to `target_mesh`."""
+    from software_rasterizer_tpu.ops.shading import ShaderType
+    from software_rasterizer_tpu.scenes import build_cornell_scene
+    from software_rasterizer_tpu.utils.texture import Texture
+
+    scene = build_cornell_scene()
+    tex = Texture(np.asarray(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]],
+        np.uint8,
+    ))
+    scene.add_shader("t", tex, ShaderType.TEXTURE)
+    scene.bind_shader_to_mesh(target_mesh, "t")
+    scene.set_ndc_matrix(24, 24)
+    return scene
+
+
+def test_fused_gate_textured_nonemissive():
+    """Textures on NON-emissive surfaces must not disable the fused
+    bounce kernel anymore: path tracing consumes texture color only at
+    emissive hits (Scene.cpp:676-680; the BRDF eval reads material Kd,
+    Material.cpp:60). The shape-encoded tex_on_emitter flag must be
+    empty and the fused render must still match the wavefront."""
+    scene = _textured_cornell("back")
+    rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+    assert rt.textures.size > 3          # a REAL atlas is present
+    assert rt.tex_on_emitter.shape[0] == 0
+
+    base = path_render(rt, 24, 24, scene.fovy, jax.random.PRNGKey(0),
+                       spp=24, block=576, fused=False)
+    fused = path_render(rt, 24, 24, scene.fovy, jax.random.PRNGKey(0),
+                        spp=24, block=576, fused=True)
+    bm = float(jnp.mean(jnp.clip(base, 0, 1)))
+    fm = float(jnp.mean(jnp.clip(fused, 0, 1)))
+    assert abs(bm - fm) < 0.03, (bm, fm)
+
+
+def test_fused_gate_textured_emitter_falls_back():
+    """A texture bound to an EMISSIVE mesh is the one case the fused
+    kernel cannot shade (in-kernel hits deposit Kd): the flag must trip
+    so _fused_auto falls back to the XLA wavefront."""
+    scene = _textured_cornell("light")
+    rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+    assert rt.tex_on_emitter.shape[0] == 1

@@ -14,7 +14,7 @@ import numpy as np
 
 from software_rasterizer_tpu.ops.camera import camera_rays
 from software_rasterizer_tpu.ops.intersect import (
-    MM2_CHUNK, _intersect_tri_raw, _mt_uv, prepare_rt_scene,
+    _cull_granule, _intersect_tri_raw, _mt_uv, prepare_rt_scene,
 )
 from software_rasterizer_tpu.ops.pallas_trace import trace_nearest_mm2_stream
 from software_rasterizer_tpu.scenes.stress import build_stress_scene
@@ -37,8 +37,8 @@ def main():
     orig, d = jax.device_put(orig[pid]), jax.device_put(d[pid])
 
     mm2s = jax.jit(lambda o, dd: trace_nearest_mm2_stream(
-        rt.mt_coef, rt.chunk_lo, rt.chunk_hi, o, dd, chunk=MM2_CHUNK,
-        block=2048,
+        rt.mt_coef, rt.chunk_lo, rt.chunk_hi, o, dd,
+        chunk=_cull_granule(rt.v0.shape[0]), block=2048,
     ))
 
     def brute(o, dd, block=8192):
