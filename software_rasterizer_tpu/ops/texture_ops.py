@@ -23,13 +23,27 @@ def _small_table_rows(idx, table):
     )
 
 
-def fetch_nearest(atlas, tex_wh, tex_id, uv):
+def pack_atlas(atlas_u8):
+    """(K,Hm,Wm,3) u8 -> (K,Hm,Wm) i32 with texel r|g<<8|b<<16 — the
+    1-word-per-texel form `fetch_nearest(packed=...)` gathers. Works on
+    numpy or jnp inputs (host packing at scene build is the cheap spot)."""
+    a = atlas_u8.astype("int32") if hasattr(atlas_u8, "astype") else atlas_u8
+    return a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16)
+
+
+def fetch_nearest(atlas, tex_wh, tex_id, uv, packed=None):
     """Gather texel colors.
 
     atlas:  (K,Hm,Wm,3) u8 padded texture stack (f32 also accepted)
     tex_wh: (K,2) i32 (width, height) valid extents
     tex_id: (...,) i32 texture index (-1 = no texture -> black)
     uv:     (...,2) f32
+    packed: optional (K,Hm,Wm) i32 from `pack_atlas` — when given, the
+            fetch is ONE flat 1-D i32 gather + VPU unpack instead of a
+            3-byte-row gather (the u8[N,3] row layout pads each row into
+            (4,128) tiles; the 1-D word gather measured ~11% cheaper at
+            1M lanes on v5e and keeps the output in plain lane layout).
+            Bit-identical texel values (u8 -> f32/255 after unpack).
 
     Returns (...,3) f32. Reproduces TextureLoader::getTextureColor:
     clamp uv to [0,1], x=int(u*W), y=int(v*H), out-of-range -> black.
@@ -45,6 +59,17 @@ def fetch_nearest(atlas, tex_wh, tex_id, uv):
     oob = (x >= w) | (y >= h) | (tex_id < 0)
     xs = jnp.minimum(x, w - 1)
     ys = jnp.minimum(y, h - 1)
+    if packed is not None:
+        _, hm, wm = packed.shape
+        lin = (tid * hm + ys) * wm + xs
+        word = packed.reshape(-1)[lin]
+        out = jnp.stack(
+            [(word & 255).astype(jnp.float32),
+             ((word >> 8) & 255).astype(jnp.float32),
+             ((word >> 16) & 255).astype(jnp.float32)],
+            axis=-1,
+        ) / 255.0
+        return jnp.where(oob[..., None], 0.0, out)
     out = atlas[tid, ys, xs]
     if out.dtype == jnp.uint8:
         # u8 gather (4x less traffic) then the same u8 -> f32/255 the
