@@ -104,6 +104,11 @@ class RTGeometry(NamedTuple):
     # Material.cpp:60), so this is the exact criterion for the fused
     # kernel's color-is-Kd treatment being exact at bounce >= 1.
     tex_on_emitter: np.ndarray = np.zeros(0, bool)
+    # (K,Hm,Wm) i32 r|g<<8|b<<16 packed atlas (texture_ops.pack_atlas):
+    # the device fetch becomes ONE flat 1-D word gather + VPU unpack —
+    # bit-identical texel values, measured ~11% cheaper than the u8
+    # row gather at 1M lanes on v5e
+    tex_packed: np.ndarray = np.zeros((1, 1, 1), np.int32)
 
 
 class RTFrame(NamedTuple):
@@ -468,8 +473,11 @@ class Scene:
             valid & (pad2(tt, fill=-1) >= 0) & obj_emissive[pad2(to)]
         ))
 
+        from software_rasterizer_tpu.ops.texture_ops import pack_atlas
+
         return RTGeometry(
             tex_on_emitter=np.zeros(1 if toe else 0, bool),
+            tex_packed=np.asarray(pack_atlas(atlas)),
             positions=pos,
             normals=nrm,
             uvs=uv,

@@ -147,6 +147,10 @@ class RTScene(NamedTuple):
     # shape-encoded "an emissive triangle is textured" flag ((1,)/(0,));
     # see models.scene.RTGeometry.tex_on_emitter
     tex_on_emitter: jnp.ndarray = jnp.zeros(0, bool)
+    # (K,Hm,Wm) i32 packed atlas (texture_ops.pack_atlas); (1,1,1) zeros
+    # when the geometry predates the field — fetch falls back to the u8
+    # row gather in that case (see nearest_hit)
+    tex_packed: jnp.ndarray = jnp.zeros((1, 1, 1), jnp.int32)
 
 
 def prepare_rt_scene(geom, frame) -> RTScene:
@@ -280,6 +284,9 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         textures=geom.textures, tex_wh=geom.tex_wh,
         background=frame.background, eye=frame.eye,
         tex_on_emitter=jnp.asarray(geom.tex_on_emitter),
+        tex_packed=jnp.asarray(
+            getattr(geom, "tex_packed", np.zeros((1, 1, 1), np.int32))
+        ),
     )
 
 
@@ -582,10 +589,19 @@ def nearest_emit_hit(scene: RTScene, orig, d, chunk: int = 512,
     use_s = st < tt
     t = jnp.where(use_s, st, tt)
     sidx = jnp.maximum(si, 0)
-    s_emit = jnp.where(
-        scene.sph_valid[sidx][:, None], scene.mat_emit[scene.sph_mat[sidx]],
-        0.0,
-    )
+    n_sph = scene.sph_c.shape[0]
+    if n_sph <= 1024:
+        # prim_shadow's sphere rows carry exactly
+        # where(sph_valid, mat_emit[sph_mat], 0) at cols 9:12 — the
+        # small-table one-hot join replaces a 3-gather chain that cost
+        # ~5 ms/frame at wavefront widths (gathers are ~9 ns/lane
+        # regardless of table size; the one-hot matmul is ~free)
+        s_emit = _onehot_rows(sidx, scene.prim_shadow[f_pad:, 9:12])
+    else:
+        s_emit = jnp.where(
+            scene.sph_valid[sidx][:, None],
+            scene.mat_emit[scene.sph_mat[sidx]], 0.0,
+        )
     emit = jnp.where(use_s[:, None], s_emit, a[:, 9:12])
     return ShadowHit(hit=t < BIG, t=t, emit=emit)
 
@@ -608,8 +624,18 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
     tidx = jnp.maximum(ti, 0)
     use_onehot = f_pad + scene.sph_c.shape[0] <= 1024
 
+    n_sph = scene.sph_c.shape[0]
+    merge_sph = (not use_onehot) and n_sph <= 1024
     if use_onehot:
         v012 = _onehot_rows(tidx, scene.prim_attr[:f_pad, 0:9])
+    elif merge_sph:
+        # ONE full-row gather serves BOTH the exact-t recompute (cols
+        # 0:9 are v0|v1|v2 for triangle rows) and the winner attribute
+        # join below — sphere winners override via a small one-hot, so
+        # the separate 9-col gather this replaces (~5 ms/frame at
+        # wavefront widths) disappears
+        a_tri = scene.prim_attr[:f_pad][tidx]
+        v012 = a_tri[:, 0:9]
     else:
         v012 = scene.prim_attr[:f_pad, 0:9][tidx]   # one row-gather
     v0w, v1w, v2w = v012[:, 0:3], v012[:, 3:6], v012[:, 6:9]
@@ -628,6 +654,13 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
     prim = jnp.where(use_s, f_pad + sidx, tidx)
     if use_onehot:
         a = _onehot_rows(prim, scene.prim_attr)
+    elif merge_sph:
+        # triangle winners reuse the a_tri rows gathered above; sphere
+        # winners get their row from the small sphere tail of prim_attr
+        # via an exact one-hot join — same table rows either way, so
+        # values are bit-identical to the single prim_attr[prim] gather
+        s_rows = _onehot_rows(sidx, scene.prim_attr[f_pad:])
+        a = jnp.where(use_s[:, None], s_rows, a_tri)
     else:
         # ONE contiguous row-gather from the packed table — ~10x cheaper
         # than the dozen per-column gathers it replaces at >1024 prims
@@ -652,9 +685,15 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
         tcol = jnp.zeros_like(coords)
     else:
         tuv_i = w[:, None] * uv0 + tu[:, None] * uv1 + tv[:, None] * uv2
+        packed = (
+            scene.tex_packed
+            if scene.tex_packed.shape == scene.textures.shape[:3]
+            else None
+        )
         tcol = jnp.where(
             (tex >= 0)[:, None],
-            fetch_nearest(scene.textures, scene.tex_wh, tex, tuv_i),
+            fetch_nearest(scene.textures, scene.tex_wh, tex, tuv_i,
+                          packed=packed),
             kd,
         )
 
