@@ -310,6 +310,12 @@ class Hit(NamedTuple):
     kd: jnp.ndarray         # (N,3) material Kd of the winner
     mat_type: jnp.ndarray   # (N,) i32 MaterialType of the winner
     ior: jnp.ndarray        # (N,) f32
+    # texture identity of the winner, for DEFERRED color fetches
+    # (nearest_hit(defer_color=True) skips the atlas gather and returns
+    # color=Kd; callers re-fetch at a compacted width via ops/whitted.
+    # _fetch_color). -1 for spheres/untextured; tuv zeroed when `lite`.
+    tex: jnp.ndarray = jnp.zeros(0, jnp.int32)    # (N,) i32
+    tuv: jnp.ndarray = jnp.zeros((0, 2))          # (N,2) f32
 
 
 def _mt_chunk(orig, d, v0, v1, v2, valid):
@@ -607,13 +613,20 @@ def nearest_emit_hit(scene: RTScene, orig, d, chunk: int = 512,
 
 
 def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
-                sphere_t_min: float = 0.0, lite: bool = False) -> Hit:
+                sphere_t_min: float = 0.0, lite: bool = False,
+                defer_color: bool = False) -> Hit:
     """Scene::traceScene (Scene.cpp:349-396): nearest over all primitives,
     then surface properties of the winner (barycentric normal/uv + diffuse
     color for triangles, analytic normal + zero color for spheres).
 
     `lite=True` skips the texture-fetch color path — shadow/visibility
     rays only need (hit, t, coords, normal, emit).
+
+    `defer_color=True` keeps the full surface properties but skips ONLY
+    the texture-atlas gather (color=Kd), returning the winner's (tex,
+    tuv) so the caller can fetch texel colors later at a COMPACTED width
+    (a 1M-lane atlas gather costs ~7.5 ms on v5e regardless of how few
+    lanes need it; ops/whitted fetches at diffuse-live blocks only).
 
     Winner attributes are assembled with ONE one-hot matmul over the
     packed `prim_attr` table when the primitive count is small enough
@@ -683,19 +696,23 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
     tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-20)
     if lite:
         tcol = jnp.zeros_like(coords)
+        tuv_i = jnp.zeros((coords.shape[0], 2))
     else:
         tuv_i = w[:, None] * uv0 + tu[:, None] * uv1 + tv[:, None] * uv2
-        packed = (
-            scene.tex_packed
-            if scene.tex_packed.shape == scene.textures.shape[:3]
-            else None
-        )
-        tcol = jnp.where(
-            (tex >= 0)[:, None],
-            fetch_nearest(scene.textures, scene.tex_wh, tex, tuv_i,
-                          packed=packed),
-            kd,
-        )
+        if defer_color:
+            tcol = kd
+        else:
+            packed = (
+                scene.tex_packed
+                if scene.tex_packed.shape == scene.textures.shape[:3]
+                else None
+            )
+            tcol = jnp.where(
+                (tex >= 0)[:, None],
+                fetch_nearest(scene.textures, scene.tex_wh, tex, tuv_i,
+                              packed=packed),
+                kd,
+            )
 
     # sphere surface properties (Sphere.cpp:148-154): normal only,
     # Properties.color stays (0,0,0) — faithful quirk (Object.hpp:36-40)
@@ -718,4 +735,6 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
         kd=kd,
         mat_type=mat_type,
         ior=ior,
+        tex=tex,
+        tuv=tuv_i,
     )

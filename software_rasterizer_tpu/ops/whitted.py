@@ -30,6 +30,7 @@ from software_rasterizer_tpu.ops import optics
 from software_rasterizer_tpu.ops.camera import camera_rays
 from software_rasterizer_tpu.ops.intersect import Hit, RTScene, nearest_hit
 from software_rasterizer_tpu.ops.path import compact_perm
+from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
 
 EPSILON = 1e-5  # Scene.hpp:160
 
@@ -52,7 +53,7 @@ def _neuter_dead(live, orig, d):
 
 
 def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int = 512,
-                        lite: bool = False) -> Hit:
+                        lite: bool = False, defer_color: bool = False) -> Hit:
     """nearest_hit over large ray sets, mapped over fixed-size blocks to
     bound the (rays x primitives) working set.
 
@@ -65,7 +66,8 @@ def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int =
 
     n = orig.shape[0]
     if n <= block or _trace_backend(scene.v0.shape[0]) != "xla":
-        return nearest_hit(scene, orig, d, chunk, lite=lite)
+        return nearest_hit(scene, orig, d, chunk, lite=lite,
+                           defer_color=defer_color)
     pad = (-n) % block
     if pad:
         orig = jnp.pad(orig, ((0, pad), (0, 0)))
@@ -76,7 +78,8 @@ def blocked_nearest_hit(scene: RTScene, orig, d, block: int = 8192, chunk: int =
     ob = orig.reshape(nb, block, 3)
     db = d.reshape(nb, block, 3)
     hits = jax.lax.map(
-        lambda od: nearest_hit(scene, od[0], od[1], chunk, lite=lite), (ob, db)
+        lambda od: nearest_hit(scene, od[0], od[1], chunk, lite=lite,
+                               defer_color=defer_color), (ob, db)
     )
     return jax.tree_util.tree_map(
         lambda a: a.reshape((nb * block,) + a.shape[2:])[:n], hits
@@ -230,6 +233,131 @@ def _align_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# lanes per deferred-shading block == the trace kernels' ray-block size
+# (ops/pallas_trace block=2048), so block-compacted lane populations are
+# exactly the original trace blocks
+_SHADE_BLK = 2048
+
+
+def _fetch_color(scene: RTScene, hit: Hit):
+    """The texture-color join nearest_hit(defer_color=True) skipped:
+    color = texel(tex, tuv) where textured, else the Kd already in
+    hit.color (spheres carry tex=-1 and color=0 — unchanged)."""
+    packed = (
+        scene.tex_packed
+        if scene.tex_packed.shape == scene.textures.shape[:3]
+        else None
+    )
+    return jnp.where(
+        (hit.tex >= 0)[:, None],
+        fetch_nearest(scene.textures, scene.tex_wh, hit.tex, hit.tuv,
+                      packed=packed),
+        hit.color,
+    )
+
+
+def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
+                    key, block: int, chunk: int, rid, cap_frac):
+    """whitted_phong_direct on diffuse-live 2048-lane BLOCKS only.
+
+    The Phong direct stage (shadow-trace cull prepass, texture-atlas
+    gather, material join, Blinn-Phong math) costs per LANE regardless
+    of the diffuse mask — at 1M lanes that is ~15 ms/depth on v5e while
+    only ~24% of tile-order blocks contain any diffuse hit (demo scene;
+    tools/diffuse_blocks.py). Compacting whole blocks first runs all of
+    it at cap_frac of the width:
+
+      * block-granular gathers/scatters are contiguous-row moves
+        (bandwidth-bound, ~0.1 ms), not the per-lane permutations that
+        made LANE-compacted shading a measured regression (see
+        PERFORMANCE.md negative results);
+      * each compacted block holds exactly its original 2048-lane
+        population, so the trace kernels' per-block chunk culling sees
+        identical ray sets — per-lane results are the same computation
+        (skipped chunks are provably hit-free either way);
+      * a frame whose diffuse-live block count exceeds the cap falls
+        back to the full-width path via lax.cond — exact, never lossy
+        (the raster deferred-shading recipe, ops/raster.py).
+
+    Returns (N,3) `direct`, zero outside `is_diffuse`."""
+    n = is_diffuse.shape[0]
+    nb = n // _SHADE_BLK
+    if cap_frac is None or n % _SHADE_BLK or nb < 64:
+        color = _fetch_color(scene, hit)
+        d = whitted_phong_direct(
+            scene, hit.coords, hit.normal, color, hit.mat, i_dir, spp,
+            key, block, chunk, rid=rid, mask=is_diffuse,
+        )
+        return jnp.where(is_diffuse[:, None], d, 0.0)
+
+    cap_b = min(nb, max(8, _align_up(int(nb * cap_frac), 8)))
+    blk_live = jnp.any(is_diffuse.reshape(nb, _SHADE_BLK), axis=1)
+    n_live = jnp.sum(blk_live.astype(jnp.int32))
+
+    def compacted(_):
+        bperm, nbl = compact_perm(blk_live, cap_b)
+        slot_ok = jnp.arange(cap_b, dtype=jnp.int32) < nbl
+
+        def g(x, k):
+            return x.reshape((nb, _SHADE_BLK) + ((k,) if k else ()))[bperm]
+
+        # slots >= nbl alias block 0 (compact_perm contract): their
+        # lanes are masked dead, traced as canned miss rays, and their
+        # deposits zeroed before scatter-back
+        mask_c = (g(is_diffuse, 0) & slot_ok[:, None]).reshape(-1)
+        coords_c = g(hit.coords, 3).reshape(-1, 3)
+        nrm_c = g(hit.normal, 3).reshape(-1, 3)
+        col_c = g(hit.color, 3).reshape(-1, 3)
+        dir_c = g(i_dir, 3).reshape(-1, 3)
+        tuv_c = g(hit.tuv, 2).reshape(-1, 2)
+        mat_c = g(hit.mat, 0).reshape(-1)
+        tex_c = g(hit.tex, 0).reshape(-1)
+        rid_c = g(rid, 0).reshape(-1)
+
+        packed = (
+            scene.tex_packed
+            if scene.tex_packed.shape == scene.textures.shape[:3]
+            else None
+        )
+        col_c = jnp.where(
+            (tex_c >= 0)[:, None],
+            fetch_nearest(scene.textures, scene.tex_wh, tex_c, tuv_c,
+                          packed=packed),
+            col_c,
+        )
+        d_c = whitted_phong_direct(
+            scene, coords_c, nrm_c, col_c, mat_c, dir_c, spp, key,
+            block, chunk, rid=rid_c, mask=mask_c,
+        )
+        d_c = jnp.where(
+            mask_c[:, None], d_c, 0.0
+        ).reshape(cap_b, _SHADE_BLK, 3)
+        # scatter rows back: live slots target their source block (the
+        # compacted prefix is ascending), dead slots redirect past nb in
+        # slot order — globally sorted AND unique, the fast scatter path
+        tgt = jnp.where(
+            slot_ok, bperm, nb + jnp.arange(cap_b, dtype=jnp.int32)
+        )
+        outs = [
+            jnp.zeros((nb, _SHADE_BLK)).at[tgt].set(
+                d_c[..., c], mode="drop",
+                unique_indices=True, indices_are_sorted=True,
+            )
+            for c in range(3)
+        ]
+        return jnp.stack(outs, axis=-1).reshape(n, 3)
+
+    def full(_):
+        color = _fetch_color(scene, hit)
+        d = whitted_phong_direct(
+            scene, hit.coords, hit.normal, color, hit.mat, i_dir, spp,
+            key, block, chunk, rid=rid, mask=is_diffuse,
+        )
+        return jnp.where(is_diffuse[:, None], d, 0.0)
+
+    return jax.lax.cond(n_live <= cap_b, compacted, full, None)
+
+
 def whitted_trace(
     scene: RTScene,
     orig,
@@ -244,6 +372,7 @@ def whitted_trace(
     lane_offset=0,
     with_stats: bool = False,
     pixel_ids=None,
+    shade_cap=(0.375, 0.125, 0.125),
 ):
     """Trace one Whitted sample tree per lane. orig/d: (N,3) normalized
     camera rays. Returns (N,3) radiance, or (radiance, stats) when
@@ -277,7 +406,13 @@ def whitted_trace(
     queue_shrink=1.0 disables the geometric schedule (capacity doubles
     per depth up to n * queue_factor); combined with queue_factor >=
     2**max_depth this reproduces the reference's full binary recursion
-    tree losslessly."""
+    tree losslessly.
+
+    `shade_cap`: per-depth diffuse-live BLOCK fraction for the deferred
+    Phong stage (`_phong_deferred`; entry min(depth, last) applies, None
+    disables). Caps are capacity knobs, not correctness knobs: a frame
+    exceeding its cap shades full-width via the exact lax.cond
+    fallback."""
     n = orig.shape[0]
     img = jnp.zeros((n, 3))
     dropped = jnp.zeros((), jnp.int32)
@@ -308,7 +443,8 @@ def whitted_trace(
         # ~nothing in trace time (their hit records are discarded — all
         # consumers below mask by `live`)
         t_orig, t_dir = _neuter_dead(live, rays["orig"], rays["dir"])
-        hit = blocked_nearest_hit(scene, t_orig, t_dir, block, chunk)
+        hit = blocked_nearest_hit(scene, t_orig, t_dir, block, chunk,
+                                  defer_color=True)
         weight = rays["weight"]
 
         # miss -> background (Scene.cpp:493-497)
@@ -318,12 +454,16 @@ def whitted_trace(
         i_dir = rays["dir"]  # camera/child dirs are normalized on creation
         nrm = hit.normal
 
-        # DIFFUSE_AND_GLOSSY -> terminal Phong direct lighting
+        # DIFFUSE_AND_GLOSSY -> terminal Phong direct lighting, run at
+        # diffuse-live blocks only (texture fetch deferred to there too)
         is_diffuse = live & hit.hit & (mat_type == 0)
-        direct = whitted_phong_direct(
-            scene, hit.coords, nrm, hit.color, hit.mat, i_dir, spp,
-            jax.random.fold_in(key, depth), block, chunk, rid=rays["rid"],
-            mask=is_diffuse,
+        cap_frac = (
+            shade_cap[min(depth, len(shade_cap) - 1)] if shade_cap else None
+        )
+        direct = _phong_deferred(
+            scene, hit, i_dir, is_diffuse, spp,
+            jax.random.fold_in(key, depth), block, chunk,
+            rid=rays["rid"], cap_frac=cap_frac,
         )
         # one combined radiance deposit per depth; at depth 0 lane i is
         # slot i of the lane-order image, so a plain add replaces the
@@ -475,7 +615,8 @@ def whitted_trace(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "block", "chunk",
-                     "queue_factor", "queue_shrink", "with_stats"),
+                     "queue_factor", "queue_shrink", "with_stats",
+                     "shade_cap"),
 )
 def whitted_render(
     scene: RTScene,
@@ -490,6 +631,7 @@ def whitted_render(
     queue_factor: int = 2,
     queue_shrink: float = 0.5,
     with_stats: bool = False,
+    shade_cap=(0.375, 0.125, 0.125),
 ):
     """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp);
     with_stats=True returns (image, {"dropped_rays": i32}).
@@ -531,6 +673,7 @@ def whitted_render(
     out = whitted_trace(
         scene, orig, d, key, spp, max_depth, block, chunk, queue_factor,
         queue_shrink, with_stats=with_stats, pixel_ids=pid,
+        shade_cap=shade_cap,
     )
     img, stats = out if with_stats else (out, None)
     img = from_tiles(img) if tiled else img.reshape(height, width, 3)

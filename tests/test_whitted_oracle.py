@@ -82,3 +82,41 @@ def test_whitted_overflow_accounting(models_dir):
         queue_shrink=1.0, with_stats=True)
     assert int(stats_full["dropped_rays"]) == 0
     assert int(stats_tight["dropped_rays"]) > 0
+
+
+def test_deferred_shading_block_compaction_exact(models_dir):
+    """The block-compacted deferred Phong stage (shade_cap) must render
+    the same frame as the full-width path — both the compacted branch
+    (generous cap) and the lax.cond overflow fallback (cap of ~0).
+
+    512x512 = 128 trace blocks, enough to engage the cap (nb >= 64).
+    The compacted branch is the same per-lane computation over the same
+    2048-lane block populations, so agreement is exact up to XLA
+    program-shape FMA reassociation — assert allclose at fp tolerance
+    and that the vast majority of pixels are BIT-equal."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    from whitted_demo import build_scene, set_frame_matrices
+
+    w = h = 512
+    scene = build_scene()
+    set_frame_matrices(scene, 0.0)
+    scene.set_ndc_matrix(w, h)
+    rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+    key = jax.random.PRNGKey(0)
+    kw = dict(spp=2, max_depth=3)
+
+    plain = np.asarray(whitted_render(
+        rt, w, h, scene.fovy, key, shade_cap=None, **kw))
+    comp = np.asarray(whitted_render(
+        rt, w, h, scene.fovy, key, shade_cap=(0.5, 0.5), **kw))
+    over = np.asarray(whitted_render(
+        rt, w, h, scene.fovy, key, shade_cap=(1e-9, 1e-9), **kw))
+
+    # overflow fallback IS the full-width path — identical program
+    np.testing.assert_array_equal(over, plain)
+    # compacted branch: same math per lane, different program shape
+    np.testing.assert_allclose(comp, plain, rtol=1e-5, atol=1e-5)
+    bitsame = (comp == plain).all(axis=-1).mean()
+    assert bitsame > 0.99, f"only {bitsame:.4f} of pixels bit-equal"
