@@ -11,8 +11,16 @@ weights: kr / (1-kr) from Fresnel, 1 for mirrors (Scene.cpp:576-614).
 
 Faithful quirks:
   * depth cap returns BLACK, miss returns background (Scene.cpp:486-497);
-  * shadow rays originate AT the hit point (no offset) and succeed only
-    when the nearest hit is emissive (Scene.cpp:522-527);
+  * shadow rays succeed only when the nearest hit is emissive
+    (Scene.cpp:522-527). The reference traces them from the hit point
+    with NO offset and stays acne-free because its shading math runs in
+    DOUBLE precision (glm::dvec3 throughout Scene.cpp:500-560): the
+    reconstructed hit point sits within ~1e-13 of the surface, so a
+    self-intersection lands below Moller-Trumbore's t >= 1e-6 cut. At
+    f32 the reconstruction error is ~1e-4 of scene scale — far ABOVE
+    that cut — so we bias the shadow origin along the shading normal
+    (toward the light's side) by SHADOW_BIAS, restoring the exact
+    -arithmetic outcome the reference computes;
   * the is_shadow test compares t^2 vs squared distance (Scene.cpp:541-545);
   * sampleLightOnCenter aims at a random emissive object's bbox-sphere
     CENTER (Scene.cpp:398-427) — deterministic given the emitter pick;
@@ -33,6 +41,12 @@ from software_rasterizer_tpu.ops.path import compact_perm
 from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
 
 EPSILON = 1e-5  # Scene.hpp:160
+
+# Shadow-ray origin bias (see module docstring): lifts the origin off
+# the surface by more than f32 hit-point reconstruction error (~1e-4 of
+# coordinate magnitude) without skipping any real occluder the f64
+# reference would see (nearest scene features sit >> 1e-3 apart).
+SHADOW_BIAS = 1e-4
 
 # canned ray for DEAD lanes: origin far outside any scene, direction
 # along +z — the slab test overflows to (-inf, -inf) intervals on x/y
@@ -156,9 +170,16 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
     def eval_toward(center):
         """v(o): the deterministic Phong direct term toward `center`."""
         l = optics.normalize(center - coords)
-        so, sl = (coords, l) if mask is None else _neuter_dead(
-            mask, coords, l
+        # bias off the surface toward the light's side (module docstring:
+        # emulates the reference's f64 no-offset behavior at f32)
+        side = jnp.where(
+            jnp.sum(nrm * l, axis=-1, keepdims=True) >= 0.0, 1.0, -1.0
         )
+        bias = SHADOW_BIAS * jnp.maximum(
+            1.0, jnp.max(jnp.abs(coords), axis=-1, keepdims=True)
+        )
+        o_b = coords + nrm * (side * bias)
+        so, sl = (o_b, l) if mask is None else _neuter_dead(mask, o_b, l)
         shadow = nearest_emit_hit(scene, so, sl, chunk)
         lit = shadow.hit & (jnp.linalg.norm(shadow.emit, axis=-1) >= EPSILON) & any_emitter
         emit = shadow.emit

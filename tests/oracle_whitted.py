@@ -111,14 +111,18 @@ def whitted(s, o, d, depth=0, max_depth=5):
         l = sample_light_on_center(s, p)
         if l is None:
             return np.zeros(3)
-        shadow = trace(s, p, l)
+        # same scale-aware normal bias as ops/whitted.py SHADOW_BIAS
+        # (the f64 reference needs none; our f32 hit points do)
+        side = 1.0 if (n @ l) >= 0.0 else -1.0
+        p_off = p + n * (1e-4 * max(1.0, float(np.max(np.abs(p)))) * side)
+        shadow = trace(s, p_off, l)
         if shadow is None or np.linalg.norm(shadow["emit"]) < EPS:
             return np.zeros(3)
         diff = max(0.0, n @ l)
         refl = -l - 2 * (-l @ n) * n
         refl = refl / np.linalg.norm(refl)
         spec = max(0.0, -(d @ refl)) ** float(s["mat_spec"][mat])
-        dist2 = np.sum((p - shadow["coords"]) ** 2)
+        dist2 = np.sum((p_off - shadow["coords"]) ** 2)
         is_shadow = abs(shadow["t"] ** 2 - dist2) > 1e-6
         emit = shadow["emit"]
         ambient = np.zeros(3) if is_shadow else emit

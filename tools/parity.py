@@ -111,9 +111,17 @@ def main():
                     default=[1.0, 1.25, 1.5, 1.6, 1.66, 1.75, 2.0])
     ap.add_argument("--trim", type=int, default=8)
     ap.add_argument("--box", type=int, default=16)
+    ap.add_argument("--swap-rb", action="store_true",
+                    help="reverse the screenshot's R/B channels first: the "
+                    "reference fills R,G,B planes (Render.hpp:121-129) but "
+                    "displays them through cv::imshow, which reads BGR "
+                    "(Render.cpp:61-63) — the whitted/raster desktop "
+                    "captures ship with red and blue swapped")
     args = ap.parse_args()
 
     ref = _imread(args.ref)
+    if args.swap_rb:
+        ref = ref[..., ::-1].copy()
     ours = _imread(args.ours)
     score, scale, oy, ox = find_alignment(ref, ours, args.scales)
     o, r = aligned_pair(ref, ours, scale, oy, ox, args.trim)
