@@ -314,8 +314,10 @@ class Hit(NamedTuple):
     # (nearest_hit(defer_color=True) skips the atlas gather and returns
     # color=Kd; callers re-fetch at a compacted width via ops/whitted.
     # _fetch_color). -1 for spheres/untextured; tuv zeroed when `lite`.
-    tex: jnp.ndarray = jnp.zeros(0, jnp.int32)    # (N,) i32
-    tuv: jnp.ndarray = jnp.zeros((0, 2))          # (N,2) f32
+    # No defaults on purpose: a constructor omitting them would produce
+    # (0,)-shaped leaves that fail far from the construction site.
+    tex: jnp.ndarray    # (N,) i32
+    tuv: jnp.ndarray    # (N,2) f32
 
 
 def _mt_chunk(orig, d, v0, v1, v2, valid):

@@ -19,8 +19,12 @@ Faithful quirks:
     self-intersection lands below Moller-Trumbore's t >= 1e-6 cut. At
     f32 the reconstruction error is ~1e-4 of scene scale — far ABOVE
     that cut — so we bias the shadow origin along the shading normal
-    (toward the light's side) by SHADOW_BIAS, restoring the exact
-    -arithmetic outcome the reference computes;
+    (toward the light's side) by SHADOW_BIAS. This matches the
+    reference on scenes whose feature separation exceeds the bias
+    (validated on the shipped demo/Cornell scenes); a real occluder
+    closer than the bias along the normal would be skipped, so the
+    bias is a `shadow_bias` parameter on whitted_render for
+    fine-featured scenes;
   * the is_shadow test compares t^2 vs squared distance (Scene.cpp:541-545);
   * sampleLightOnCenter aims at a random emissive object's bbox-sphere
     CENTER (Scene.cpp:398-427) — deterministic given the emitter pick;
@@ -120,7 +124,7 @@ def _pick_emitter_center(scene: RTScene, key, rid, salt: int = 0):
 
 def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
                          spp: int, key, block: int = 8192, chunk: int = 512,
-                         rid=None, mask=None):
+                         rid=None, mask=None, shadow_bias=SHADOW_BIAS):
     """The DIFFUSE_AND_GLOSSY branch (Scene.cpp:509-574), averaged over
     `spp` emitter picks (identical picks when one emitter exists, matching
     the reference's deterministic resampling loop).
@@ -175,7 +179,7 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
         side = jnp.where(
             jnp.sum(nrm * l, axis=-1, keepdims=True) >= 0.0, 1.0, -1.0
         )
-        bias = SHADOW_BIAS * jnp.maximum(
+        bias = shadow_bias * jnp.maximum(
             1.0, jnp.max(jnp.abs(coords), axis=-1, keepdims=True)
         )
         o_b = coords + nrm * (side * bias)
@@ -186,8 +190,12 @@ def whitted_phong_direct(scene: RTScene, coords, nrm, color, mat, ray_dir,
         diff = jnp.maximum(0.0, jnp.sum(nrm * l, axis=-1))
         refl = optics.normalize(optics.reflect(-l, nrm))
         spec = jnp.maximum(0.0, -jnp.sum(ray_dir * refl, axis=-1)) ** spec_exp
-        scoords = coords + l * shadow.t[:, None]
-        dist2 = jnp.sum((coords - scoords) ** 2, axis=-1)
+        # reconstruct the shadow hit from the ray's ACTUAL origin o_b
+        # (consistent with tests/oracle_whitted.py); dist2 collapses to
+        # t^2*|l|^2 either way — the |t^2-dist2| quirk test below reads
+        # the reference's own chaotic formula (Scene.cpp:541-545)
+        scoords = o_b + l * shadow.t[:, None]
+        dist2 = jnp.sum((o_b - scoords) ** 2, axis=-1)
         t2 = shadow.t * shadow.t
         is_shadow = jnp.abs(t2 - dist2) > 1e-6
         ambient = jnp.where(is_shadow[:, None], 0.0, emit)
@@ -278,7 +286,8 @@ def _fetch_color(scene: RTScene, hit: Hit):
 
 
 def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
-                    key, block: int, chunk: int, rid, cap_frac):
+                    key, block: int, chunk: int, rid, cap_frac,
+                    shadow_bias=SHADOW_BIAS):
     """whitted_phong_direct on diffuse-live 2048-lane BLOCKS only.
 
     The Phong direct stage (shadow-trace cull prepass, texture-atlas
@@ -294,8 +303,12 @@ def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
         PERFORMANCE.md negative results);
       * each compacted block holds exactly its original 2048-lane
         population, so the trace kernels' per-block chunk culling sees
-        identical ray sets — per-lane results are the same computation
-        (skipped chunks are provably hit-free either way);
+        identical ray sets (skipped chunks are provably hit-free either
+        way). The compacted branch is ALLCLOSE-exact (1e-5), not
+        bit-exact: the different program shape reassociates FMAs, which
+        flips ~1% of pixels at the last ULP (tests/test_whitted_oracle
+        documents this) — future golden drift at that level is
+        reassociation, not a logic change;
       * a frame whose diffuse-live block count exceeds the cap falls
         back to the full-width path via lax.cond — exact, never lossy
         (the raster deferred-shading recipe, ops/raster.py).
@@ -308,6 +321,7 @@ def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
         d = whitted_phong_direct(
             scene, hit.coords, hit.normal, color, hit.mat, i_dir, spp,
             key, block, chunk, rid=rid, mask=is_diffuse,
+            shadow_bias=shadow_bias,
         )
         return jnp.where(is_diffuse[:, None], d, 0.0)
 
@@ -349,6 +363,7 @@ def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
         d_c = whitted_phong_direct(
             scene, coords_c, nrm_c, col_c, mat_c, dir_c, spp, key,
             block, chunk, rid=rid_c, mask=mask_c,
+            shadow_bias=shadow_bias,
         )
         d_c = jnp.where(
             mask_c[:, None], d_c, 0.0
@@ -373,6 +388,7 @@ def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
         d = whitted_phong_direct(
             scene, hit.coords, hit.normal, color, hit.mat, i_dir, spp,
             key, block, chunk, rid=rid, mask=is_diffuse,
+            shadow_bias=shadow_bias,
         )
         return jnp.where(is_diffuse[:, None], d, 0.0)
 
@@ -394,6 +410,7 @@ def whitted_trace(
     with_stats: bool = False,
     pixel_ids=None,
     shade_cap=(0.375, 0.125, 0.125),
+    shadow_bias=SHADOW_BIAS,
 ):
     """Trace one Whitted sample tree per lane. orig/d: (N,3) normalized
     camera rays. Returns (N,3) radiance, or (radiance, stats) when
@@ -484,7 +501,7 @@ def whitted_trace(
         direct = _phong_deferred(
             scene, hit, i_dir, is_diffuse, spp,
             jax.random.fold_in(key, depth), block, chunk,
-            rid=rays["rid"], cap_frac=cap_frac,
+            rid=rays["rid"], cap_frac=cap_frac, shadow_bias=shadow_bias,
         )
         # one combined radiance deposit per depth; at depth 0 lane i is
         # slot i of the lane-order image, so a plain add replaces the
@@ -637,7 +654,7 @@ def whitted_trace(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "block", "chunk",
                      "queue_factor", "queue_shrink", "with_stats",
-                     "shade_cap"),
+                     "shade_cap", "shadow_bias"),
 )
 def whitted_render(
     scene: RTScene,
@@ -653,6 +670,7 @@ def whitted_render(
     queue_shrink: float = 0.5,
     with_stats: bool = False,
     shade_cap=(0.375, 0.125, 0.125),
+    shadow_bias: float = SHADOW_BIAS,
 ):
     """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp);
     with_stats=True returns (image, {"dropped_rays": i32}).
@@ -694,7 +712,7 @@ def whitted_render(
     out = whitted_trace(
         scene, orig, d, key, spp, max_depth, block, chunk, queue_factor,
         queue_shrink, with_stats=with_stats, pixel_ids=pid,
-        shade_cap=shade_cap,
+        shade_cap=shade_cap, shadow_bias=shadow_bias,
     )
     img, stats = out if with_stats else (out, None)
     img = from_tiles(img) if tiled else img.reshape(height, width, 3)

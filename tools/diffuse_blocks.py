@@ -51,6 +51,7 @@ def main():
         orig, d = to_tiles(orig), to_tiles(d)
 
         rays = {"orig": orig, "dir": d, "live": jnp.ones(orig.shape[0], bool)}
+        ang_fracs = {}
         for depth in range(3):
             n = rays["orig"].shape[0]
             t_orig, t_dir = _neuter_dead(rays["live"], rays["orig"], rays["dir"])
@@ -60,6 +61,7 @@ def main():
             nb = n // 2048
             blk = np.asarray(is_diffuse[: nb * 2048].reshape(nb, 2048).any(1))
             frac = blk.mean()
+            ang_fracs[depth] = float(frac)
             worst[depth] = max(worst.get(depth, 0.0), float(frac))
             if depth == 0 and ang == 0.0:
                 print(f"ang={ang} depth={depth}: {blk.sum()}/{nb} blocks "
@@ -76,7 +78,7 @@ def main():
                 "live": is_spec,
             }
         print(f"ang={ang}: depth fracs "
-              + ", ".join(f"d{k}={v:.3f}" for k, v in sorted(worst.items())))
+              + ", ".join(f"d{k}={v:.3f}" for k, v in sorted(ang_fracs.items())))
     print("WORST per depth:", {k: round(v, 3) for k, v in sorted(worst.items())})
 
 
