@@ -414,7 +414,10 @@ def whitted_trace(
 ):
     """Trace one Whitted sample tree per lane. orig/d: (N,3) normalized
     camera rays. Returns (N,3) radiance, or (radiance, stats) when
-    `with_stats` (stats: {"dropped_rays": scalar i32 overflow count}).
+    `with_stats` (stats: {"dropped_rays": i32 overflow count,
+    "rays_main"/"rays_shadow": i32 live rays traced — main traces count
+    live lanes, shadow traces count live-diffuse lanes per emitter
+    eval}).
     (Scene::whittedRayTracing per ray; the lane set may be any subset of
     the framebuffer, which is how parallel/render.py shards the screen
     across devices — pass `lane_offset` = the shard's absolute first-lane
@@ -454,6 +457,14 @@ def whitted_trace(
     n = orig.shape[0]
     img = jnp.zeros((n, 3))
     dropped = jnp.zeros((), jnp.int32)
+    # traced-ray accounting for stats (bench roofline): LIVE lanes per
+    # main trace, and live-diffuse lanes per shadow-trace EVAL (the spp
+    # picks regroup by distinct emitter — whitted_phong_direct — so one
+    # eval per emitter in the table; the static 1-emitter fast path and
+    # most scenes run exactly one)
+    rays_main = jnp.zeros((), jnp.int32)
+    rays_shadow = jnp.zeros((), jnp.int32)
+    shadow_evals = max(1, scene.emitter_cr.shape[0]) if spp > 1 else 1
     dep_bufs = []   # per-depth (cap_d, 3) deposits, depths 1..max
     links = []      # (perm, n_spec, half): depth-d queue -> its parents
 
@@ -481,6 +492,7 @@ def whitted_trace(
         # ~nothing in trace time (their hit records are discarded — all
         # consumers below mask by `live`)
         t_orig, t_dir = _neuter_dead(live, rays["orig"], rays["dir"])
+        rays_main = rays_main + jnp.sum(live.astype(jnp.int32))
         hit = blocked_nearest_hit(scene, t_orig, t_dir, block, chunk,
                                   defer_color=True)
         weight = rays["weight"]
@@ -495,6 +507,9 @@ def whitted_trace(
         # DIFFUSE_AND_GLOSSY -> terminal Phong direct lighting, run at
         # diffuse-live blocks only (texture fetch deferred to there too)
         is_diffuse = live & hit.hit & (mat_type == 0)
+        rays_shadow = rays_shadow + shadow_evals * jnp.sum(
+            is_diffuse.astype(jnp.int32)
+        )
         cap_frac = (
             shade_cap[min(depth, len(shade_cap) - 1)] if shade_cap else None
         )
@@ -646,7 +661,8 @@ def whitted_trace(
         else:
             dep_bufs[i - 1] = folded
     if with_stats:
-        return img, {"dropped_rays": dropped}
+        return img, {"dropped_rays": dropped, "rays_main": rays_main,
+                     "rays_shadow": rays_shadow}
     return img
 
 
@@ -673,7 +689,7 @@ def whitted_render(
     shadow_bias: float = SHADOW_BIAS,
 ):
     """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp);
-    with_stats=True returns (image, {"dropped_rays": i32}).
+    with_stats=True returns (image, stats) — see whitted_trace.
 
     Camera rays are issued in (16, 128)-pixel TILE order when the frame
     divides evenly: each 2048-lane trace block then covers a compact
