@@ -423,6 +423,14 @@ def whitted_trace(
     across devices — pass `lane_offset` = the shard's absolute first-lane
     index so per-ray RNG identities stay global.)
 
+    When `with_stats`, stats also carries "dropped_px": an (N,) bool
+    mask in PIXEL-index space (flat image order, NOT lane order) marking
+    every root pixel whose sample tree lost at least one child to queue
+    overflow — the input to `whitted_render_exact`'s second pass. The
+    root pixel of a depth-d queue lane is recovered from its RNG
+    identity: rid_d = 2^d * rid_0 + off with off in [2^d - 1, 2^(d+1) - 2]
+    (children derive 2*rid + {1, 2}), so rid_0 = (rid_d - (2^d - 1)) >> d.
+
     `pixel_ids` (optional (N,) i32): each lane's IMAGE index when lanes
     are not in image order — whitted_render passes camera rays in
     (16, 128)-pixel TILE order so each 2048-lane trace block covers a
@@ -457,6 +465,7 @@ def whitted_trace(
     n = orig.shape[0]
     img = jnp.zeros((n, 3))
     dropped = jnp.zeros((), jnp.int32)
+    dropped_px = jnp.zeros((n,), bool)
     # traced-ray accounting for stats (bench roofline): LIVE lanes per
     # main trace, and live-diffuse lanes per shadow-trace EVAL (the spp
     # picks regroup by distinct emitter — whitted_phong_direct — so one
@@ -576,6 +585,20 @@ def whitted_trace(
         dropped = dropped + jnp.sum(
             jnp.where(lost, 1 + is_glass.astype(jnp.int32), 0)
         )
+        if with_stats:
+            # mark the lost parents' ROOT pixels (see docstring for the
+            # rid -> pixel recovery); cond-gated so the overflow-free
+            # common case pays one any() reduce, no scatter
+            pix = (
+                (rays["rid"] - ((1 << depth) - 1)) >> depth
+            ) - lane_offset
+            tgt_px = jnp.where(lost, pix, n)
+            dropped_px = jax.lax.cond(
+                jnp.any(lost),
+                lambda m: m.at[tgt_px].set(True, mode="drop"),
+                lambda m: m,
+                dropped_px,
+            )
         slot_ok = jnp.arange(half, dtype=jnp.int32) < n_spec
 
         pf = jnp.concatenate([
@@ -662,7 +685,7 @@ def whitted_trace(
             dep_bufs[i - 1] = folded
     if with_stats:
         return img, {"dropped_rays": dropped, "rays_main": rays_main,
-                     "rays_shadow": rays_shadow}
+                     "rays_shadow": rays_shadow, "dropped_px": dropped_px}
     return img
 
 
@@ -732,4 +755,90 @@ def whitted_render(
     )
     img, stats = out if with_stats else (out, None)
     img = from_tiles(img) if tiled else img.reshape(height, width, 3)
+    if with_stats:
+        # dropped_px is PIXEL-indexed (whitted_trace recovers root pixels
+        # from rid), so it reshapes directly — no tile unpermute
+        stats = dict(stats)
+        stats["dropped_px"] = stats["dropped_px"].reshape(height, width)
     return (img, stats) if with_stats else img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "block", "chunk",
+                     "shade_cap", "shadow_bias"),
+)
+def _retrace_pixels(scene, width, height, fovy, key, pid, spp, max_depth,
+                    block, chunk, shade_cap, shadow_bias):
+    """Pass 2 of whitted_render_exact: trace the pixels in `pid` ((K,)
+    i32 image indices, padded to a bucketed static width) at LOSSLESS
+    queue capacity (queue_shrink=1.0 + queue_factor=2**max_depth — the
+    reference's full binary recursion tree). Per-pixel values equal the
+    full-capacity whole-frame render's: RNG identities and emitter picks
+    key off the absolute pixel id, never the lane set."""
+    orig, d = camera_rays(scene.eye, fovy, width, height)
+    return whitted_trace(
+        scene, orig[pid], d[pid], key, spp, max_depth, block, chunk,
+        queue_factor=2 ** max_depth, queue_shrink=1.0, pixel_ids=pid,
+        shade_cap=shade_cap, shadow_bias=shadow_bias,
+    )
+
+
+def whitted_render_exact(
+    scene: RTScene,
+    width: int,
+    height: int,
+    fovy: float,
+    key,
+    spp: int = 1,
+    max_depth: int = 5,
+    block: int = 8192,
+    chunk: int = 512,
+    queue_factor: int = 2,
+    queue_shrink: float = 0.5,
+    shade_cap=(0.375, 0.125, 0.125),
+    shadow_bias: float = SHADOW_BIAS,
+    bucket: int = 2048,
+    return_stats: bool = False,
+):
+    """Overflow-EXACT Whitted render: dropped rays handled, not just
+    counted.
+
+    Pass 1 is the capacity-bounded wavefront (`whitted_render` with the
+    geometric queue schedule). When its per-depth child queues overflowed
+    (stats["dropped_rays"] > 0 — a specular-heavy frame exceeding the
+    queue_shrink budget), pass 2 re-traces ONLY the affected root pixels
+    (stats["dropped_px"]) at lossless capacity (queue_shrink=1.0,
+    queue_factor=2**max_depth) and patches them into the frame. Because
+    every per-pixel quantity — RNG streams, emitter picks, deposits — is
+    keyed by ABSOLUTE pixel id, the patched pixels are exactly what the
+    full-binary-tree whole-frame render computes, without paying its
+    2^depth queues for the whole frame (the reference recurses the full
+    tree per pixel, Scene.cpp:576-614).
+
+    Host-orchestrated (two jitted passes + one mask readback), so NOT
+    jittable itself; the pass-2 width is padded to `bucket` lanes to
+    bound recompiles. Returns an (H,W,3) np.ndarray (device array when
+    no overflow occurred); with return_stats, (image, pass-1 stats)."""
+    import numpy as np
+
+    img, stats = whitted_render(
+        scene, width, height, fovy, key, spp, max_depth, block, chunk,
+        queue_factor, queue_shrink, with_stats=True, shade_cap=shade_cap,
+        shadow_bias=shadow_bias,
+    )
+    mask = np.asarray(stats["dropped_px"]).reshape(-1)
+    pix = np.nonzero(mask)[0]
+    if pix.size == 0:
+        return (img, stats) if return_stats else img
+    cap = -(-pix.size // bucket) * bucket
+    pad = np.zeros(cap, np.int64)
+    pad[: pix.size] = pix  # pad lanes re-trace pixel 0; discarded below
+    out2 = _retrace_pixels(
+        scene, width, height, fovy, key, jnp.asarray(pad, jnp.int32),
+        spp, max_depth, block, chunk, shade_cap, shadow_bias,
+    )
+    imgf = np.asarray(img).reshape(-1, 3).copy()
+    imgf[pix] = np.asarray(out2)[: pix.size]
+    out = imgf.reshape(height, width, 3)
+    return (out, stats) if return_stats else out

@@ -49,17 +49,53 @@ def test_sharding_work_efficiency_8dev():
     )
     block = w * w // 4
     mesh = make_render_mesh(n_spp=2, devices=jax.devices()[:8])
+    key = jax.random.PRNGKey(1)
 
-    cm = _cpu_time(lambda: path_render(
-        rt, w, w, scene.fovy, jax.random.PRNGKey(1), spp=spp,
-        max_bounces=8, block=block,
-    ).block_until_ready())
+    # SHAPE-MATCHED monolithic baseline (VERDICT r3 item 6): the sharded
+    # program's per-shard body at identical compile shapes, run
+    # sequentially with no collectives — the ratio then isolates the
+    # sharding machinery (psum + shard_map) instead of program-shape
+    # effects (a differently-blocked monolith measured 1.8x the shard
+    # CPU in r3, certifying nothing).
+    from software_rasterizer_tpu.ops.camera import camera_rays
+    from software_rasterizer_tpu.ops.path import _blocked_path_trace
+
+    lanes_per = w * w // mesh.n_tile
+    spp_per = spp // mesh.n_spp
+    orig, d = camera_rays(rt.eye, scene.fovy, w, w)
+
+    @jax.jit
+    def shard(sc, o_loc, d_loc, tile_i, spp_i):
+        blk0 = tile_i * jnp.int32(max(lanes_per // block, 1))
+
+        def body(acc, s):
+            ks = jax.random.fold_in(key, spp_i * spp_per + s)
+            rad = _blocked_path_trace(
+                sc, o_loc, d_loc, ks, 0.8, 8, block, 512,
+                block_offset=blk0,
+            )
+            return acc + rad, None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros_like(o_loc), jnp.arange(spp_per, dtype=jnp.int32)
+        )
+        return acc
+
+    def mono():
+        outs = []
+        for ti in range(mesh.n_tile):
+            o_loc = orig[ti * lanes_per:(ti + 1) * lanes_per]
+            d_loc = d[ti * lanes_per:(ti + 1) * lanes_per]
+            for si in range(mesh.n_spp):
+                outs.append(shard(rt, o_loc, d_loc,
+                                  jnp.int32(ti), jnp.int32(si)))
+        jax.block_until_ready(outs)
+
+    cm = _cpu_time(mono)
     cs = _cpu_time(lambda: sharded_path_render(
-        rt, mesh, w, w, scene.fovy, jax.random.PRNGKey(1), spp=spp,
-        max_bounces=8, block=block,
+        rt, mesh, w, w, scene.fovy, key, spp=spp,
+        max_bounces=8, block=block, fused=False,
     ).block_until_ready())
     eff = cm / cs
-    # >= 0.8: sharding may add at most 25% total-work overhead
-    # (measured ~1.2-1.4 on this workload: shards compile to tighter
-    # programs than the monolith, so the ratio usually EXCEEDS 1)
+    # >= 0.8: the sharding machinery may add at most 25% total work
     assert eff >= 0.8, (cm, cs, eff)

@@ -84,6 +84,50 @@ def test_whitted_overflow_accounting(models_dir):
     assert int(stats_tight["dropped_rays"]) > 0
 
 
+def test_whitted_overflow_exact_second_pass(models_dir):
+    """whitted_render_exact must HANDLE overflow, not just count it: a
+    queue_shrink that drops child rays renders exactly the lossless
+    full-binary-tree frame, by re-tracing only the dropped pixels at
+    full capacity (the second pass never pays 2^depth queues for the
+    whole frame)."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    from whitted_demo import build_scene, set_frame_matrices
+
+    from software_rasterizer_tpu.ops.whitted import whitted_render_exact
+
+    scene = build_scene()
+    set_frame_matrices(scene, 0.0)
+    scene.set_ndc_matrix(128, 128)
+    rt = prepare_rt_scene(scene.rt_geometry(), scene.rt_frame())
+    key = jax.random.PRNGKey(0)
+    kw = dict(spp=1, max_depth=3)
+
+    gt, gts = whitted_render(
+        rt, 128, 128, scene.fovy, key, queue_shrink=1.0,
+        queue_factor=8, with_stats=True, **kw)
+    assert int(gts["dropped_rays"]) == 0
+    gt = np.asarray(gt)
+
+    img1, st1 = whitted_render(
+        rt, 128, 128, scene.fovy, key, queue_shrink=0.02,
+        with_stats=True, **kw)
+    assert int(st1["dropped_rays"]) > 0
+    mask = np.asarray(st1["dropped_px"])
+    assert mask.any()
+    # non-vacuous: the tight render is WRONG at the dropped pixels
+    assert not np.allclose(np.asarray(img1)[mask], gt[mask],
+                           rtol=1e-5, atol=1e-5)
+
+    ex = np.asarray(whitted_render_exact(
+        rt, 128, 128, scene.fovy, key, queue_shrink=0.02,
+        bucket=256, **kw))
+    np.testing.assert_allclose(ex, gt, rtol=1e-5, atol=1e-6)
+    # the patch touches ONLY the dropped pixels
+    np.testing.assert_array_equal(ex[~mask], np.asarray(img1)[~mask])
+
+
 def test_deferred_shading_block_compaction_exact(models_dir):
     """The block-compacted deferred Phong stage (shade_cap) must render
     the same frame as the full-width path — both the compacted branch
