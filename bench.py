@@ -441,7 +441,8 @@ def bench_stress(width, height, repeats):
     )
     from software_rasterizer_tpu.scenes.stress import build_stress_scene
 
-    scene = build_stress_scene(levels=3)
+    levels = int(os.environ.get("BENCH_LEVELS", 3))
+    scene = build_stress_scene(levels=levels)
     scene.set_ndc_matrix(width, height)
     geom = scene.rt_geometry()
     rt = jax.tree_util.tree_map(
@@ -497,6 +498,26 @@ def bench_stress(width, height, repeats):
     t_brute, idx_b = timed(xla_sweep(False))
     exact_xla = bool(np.array_equal(idx_c, idx_b))
 
+    # the classic per-ray BVH stack traversal, measured at the same
+    # widths (round-3 verdict: tested-but-never-dispatched needs a
+    # ruling number in the tier table)
+    from software_rasterizer_tpu.ops.bvh import (
+        build_bvh, bvh_nearest_hit, primitive_bounds, triangle_areas,
+    )
+
+    v0h = np.asarray(rt.v0)[: n_tri]
+    v1h = np.asarray(rt.v1)[: n_tri]
+    v2h = np.asarray(rt.v2)[: n_tri]
+    bvh = build_bvh(*primitive_bounds(v0h, v1h, v2h),
+                    triangle_areas(v0h, v1h, v2h))
+    bvh_dev = jax.tree_util.tree_map(jax.device_put, bvh)
+    v0d, v1d, v2d = (jax.device_put(a) for a in (v0h, v1h, v2h))
+    bvh_fn = jax.jit(lambda o, dd: bvh_nearest_hit(
+        bvh_dev, v0d, v1d, v2d, o, dd,
+        max_depth=96,
+    ))
+    t_bvh, idx_bvh = timed(bvh_fn)  # returns (t, prim); [1] = prim
+
     # mm2s winner check is TIE-AWARE: the MXU HIGHEST matmul of the
     # 13-feature bilinear form rounds differently (last-ULP) than XLA's
     # f32 Moller-Trumbore, so at shared edges of the tessellated bunny
@@ -548,6 +569,8 @@ def bench_stress(width, height, repeats):
         "mm2s_s": round(t_s, 4),
         "xla_culled_s": round(t_cull, 4),
         "brute_s": round(t_brute, 4),
+        "bvh_stack_s": round(t_bvh, 4),
+        "bvh_stack_vs_mm2s": round(t_bvh / t_s, 2),
         "mm2s_speedup_vs_brute": round(t_brute / t_s, 2),
         "exact_vs_brute": exact,
         "mm2s_tie_flips": int(mism.size),

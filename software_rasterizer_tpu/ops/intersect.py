@@ -58,7 +58,12 @@ MM2S_CHUNK = 256   # coarser granule for the HBM-streaming tier: fewer,
                    # larger DMAs/matmuls win above ~100K tris (measured
                    # 318K-tri sweep: 256 beat 128 by 12%, 512-ray DMA
                    # ~52KB hides fully behind the (1024, 2048) matmul)
-MM2S_TRACE_MAX_TRIS = 4096 * MM2_CHUNK   # 4096-chunk cull-mask capacity
+# mm2s ceiling: 8192 chunks at the MM2S_CHUNK granule (the kernel itself
+# streams coefficients from HBM, so the binding costs are the O(nc)
+# per-block cull-prepass loop and the (6, nc) SMEM AABB window — both
+# measured fine at nc ~ 5K / 2M tris, BENCH_MODE=stress LEVELS=4).
+# Above it the blocked XLA chunk-cull sweep remains (exact, unbounded).
+MM2S_TRACE_MAX_TRIS = 8192 * MM2S_CHUNK
 
 
 def _cull_granule(f_pad: int) -> int:
@@ -132,6 +137,11 @@ class RTScene(NamedTuple):
     prim_shadow: jnp.ndarray     # (P_pad, 12) [v0|v1|v2|emit] rows — the
                                  # minimal epilogue table for emit-only
                                  # shadow traces (nearest_emit_hit)
+    prim_cls: jnp.ndarray        # (P_pad, 8) [mat_type, ior, 0...] rows —
+                                 # classify_hit's winner-class join (an
+                                 # 8-col row gather runs at ~1.7 ns/row
+                                 # on v5e where a 1-col gather pays
+                                 # ~7 ns/row; tools/gather_cost.py)
     mt_coef: jnp.ndarray         # (4F, 13) bilinear Moller-Trumbore
                                  # coefficients (ops/pallas_trace.mt_tri_coef)
                                  # for the MXU trace kernel
@@ -252,6 +262,17 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         zeros_s, zeros_s, zeros_s,
     ], axis=1)
     prim_attr = jnp.concatenate([tri_rows, sph_rows], axis=0)
+    prim_cls = jnp.concatenate([
+        jnp.stack([
+            mt.type[geom.tri_mat].astype(jnp.float32),
+            mt.ior[geom.tri_mat],
+        ], axis=1),
+        jnp.stack([
+            mt.type[geom.sph_mat].astype(jnp.float32),
+            mt.ior[geom.sph_mat],
+        ], axis=1),
+    ], axis=0)
+    prim_cls = jnp.pad(prim_cls, ((0, 0), (0, 6)))
     prim_shadow = jnp.concatenate([
         jnp.concatenate([tv[:, 0], tv[:, 1], tv[:, 2], tri_emit], axis=1),
         jnp.concatenate(
@@ -279,6 +300,7 @@ def prepare_rt_scene(geom, frame) -> RTScene:
         emitter_cr=emitter_cr,
         prim_attr=prim_attr,
         prim_shadow=prim_shadow,
+        prim_cls=prim_cls,
         mt_coef=mt_tri_coef(tv[:, 0], tv[:, 1], tv[:, 2], geom.face_valid),
         tri_table=_tt, n_tri=_nt, chunk_lo=_clo, chunk_hi=_chi,
         textures=geom.textures, tex_wh=geom.tex_wh,
@@ -385,7 +407,8 @@ def _mt_uv(orig, d, v0, v1, v2):
 
 def _intersect_tri_raw(orig, d, v0, v1, v2, valid, chunk: int = 512,
                        cull_chunks: bool = True):
-    """Winner search only: returns (hit (N,) bool, idx (N,) i32, -1 miss).
+    """Winner search only: returns (hit (N,) bool, idx (N,) i32 -1 miss,
+    t (N,) f32 BIG miss — the CHUNK-FORMULA winner t, see _trace_tris).
     The (u, v, t) epilogue is the caller's (so `nearest_hit` can batch it
     into the one-hot attribute matmul instead of per-array gathers).
 
@@ -457,7 +480,7 @@ def _intersect_tri_raw(orig, d, v0, v1, v2, valid, chunk: int = 512,
     init = (jnp.full((n,), BIG), jnp.full((n,), -1, jnp.int32))
     (bt, i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
     hit = bt < BIG
-    return hit, jnp.where(hit, i, -1)
+    return hit, jnp.where(hit, i, -1), bt
 
 
 def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512,
@@ -465,7 +488,8 @@ def intersect_triangles(orig, d, v0, v1, v2, valid, chunk: int = 512,
     """Nearest triangle per ray via chunked masked min.
 
     Returns (t, idx, u, v) each (N,); idx = -1 / t = BIG on miss."""
-    hit, i = _intersect_tri_raw(orig, d, v0, v1, v2, valid, chunk, cull_chunks)
+    hit, i, _ = _intersect_tri_raw(orig, d, v0, v1, v2, valid, chunk,
+                                   cull_chunks)
     c = jnp.maximum(i, 0)
     u, v, t = _mt_uv(orig, d, v0[c], v1[c], v2[c])
     return jnp.where(hit, t, BIG), i, u, v
@@ -515,7 +539,13 @@ def _onehot_rows(idx, table, precision=jax.lax.Precision.HIGHEST):
 
 def _trace_tris(scene: RTScene, orig, d, chunk: int):
     """Winner search over triangles via the tiered backends; returns
-    (tri_hit (N,) bool, idx (N,) i32)."""
+    (tri_hit (N,) bool, idx (N,) i32, t (N,) f32 — BIG on miss).
+
+    The returned t is the BACKEND's winner t (the mm kernels' bilinear
+    matmul rounding / the XLA chunk formula), NOT the exact _mt_uv
+    recompute — callers needing oracle-exact t (nearest_hit,
+    nearest_emit_hit) recompute it for the winner; classify_hit uses it
+    only to pick triangle-vs-sphere winners."""
     f_pad = scene.v0.shape[0]
     backend = _trace_backend(f_pad)
     interp = jax.default_backend() != "tpu"
@@ -581,7 +611,7 @@ def nearest_emit_hit(scene: RTScene, orig, d, chunk: int = 512,
         return jax.tree_util.tree_map(
             lambda a: a.reshape((nb * block,) + a.shape[2:])[:n], hits
         )
-    tri_hit, ti = _trace_tris(scene, orig, d, chunk)
+    tri_hit, ti, _ = _trace_tris(scene, orig, d, chunk)
     tidx = jnp.maximum(ti, 0)
     use_onehot = f_pad + scene.sph_c.shape[0] <= 1024
     if use_onehot:
@@ -635,7 +665,7 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
     (the one-hot plane stays cheap); large scenes fall back to gathers.
     """
     f_pad = scene.v0.shape[0]
-    tri_hit, ti = _trace_tris(scene, orig, d, chunk)
+    tri_hit, ti, _ = _trace_tris(scene, orig, d, chunk)
     tidx = jnp.maximum(ti, 0)
     use_onehot = f_pad + scene.sph_c.shape[0] <= 1024
 
@@ -726,6 +756,149 @@ def nearest_hit(scene: RTScene, orig, d, chunk: int = 512,
         t=t,
         is_sphere=use_s,
         prim=jnp.where(use_s, sidx, tidx),
+        bary_u=tu,
+        bary_v=tv,
+        coords=coords,
+        normal=jnp.where(use_s[:, None], sn, tn),
+        color=jnp.where(use_s[:, None], 0.0, tcol),
+        emit=emit,
+        mat=mat,
+        obj=obj,
+        kd=kd,
+        mat_type=mat_type,
+        ior=ior,
+        tex=tex,
+        tuv=tuv_i,
+    )
+
+
+class LiteHit(NamedTuple):
+    """Winner + material CLASS only — no attribute epilogue.
+
+    classify_hit's output: enough to build the integrator's branch masks
+    (miss / diffuse / specular) and to compact lanes; the full surface-
+    attribute join (`surface_attrs`) then runs at the COMPACTED widths.
+    This is what lets ops/whitted skip the ~22 ms full-width epilogue
+    the round-3 frame paid per depth (tools/whitted_slopes.py)."""
+
+    hit: jnp.ndarray       # (N,) bool
+    use_s: jnp.ndarray     # (N,) bool — winner is a sphere
+    tri: jnp.ndarray       # (N,) i32 triangle winner (clamped >= 0)
+    sph: jnp.ndarray       # (N,) i32 sphere winner (clamped >= 0)
+    t_tri: jnp.ndarray     # (N,) f32 backend winner t (BIG on miss)
+    st: jnp.ndarray        # (N,) f32 exact sphere t (BIG on miss)
+    mat_type: jnp.ndarray  # (N,) i32 winner MaterialType
+
+
+def classify_hit(scene: RTScene, orig, d, chunk: int = 512,
+                 block: int = 8192) -> LiteHit:
+    """Nearest-winner search + material class WITHOUT surface attributes.
+
+    The triangle-vs-sphere pick compares the trace BACKEND's triangle t
+    (mm kernels: bilinear-matmul rounding; XLA: the chunk formula)
+    against the exact sphere t — where nearest_hit compares the exact
+    _mt_uv recompute. A tri and a sphere surface coinciding within the
+    backend t's ~1e-7 relative rounding could therefore pick the other
+    primitive; integrator-visible VALUES stay exact (surface_attrs
+    recomputes the winner's t/u/v with the oracle formulas).
+
+    On the XLA backend large ray sets are mapped over `block`-lane
+    blocks (the brute sweep materializes (rays x chunk) planes)."""
+    f_pad = scene.v0.shape[0]
+    n = orig.shape[0]
+    if _trace_backend(f_pad) == "xla" and n > block:
+        pad = (-n) % block
+        if pad:
+            orig = jnp.pad(orig, ((0, pad), (0, 0)))
+            d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        nb = (n + pad) // block
+        out = jax.lax.map(
+            lambda od: classify_hit(scene, od[0], od[1], chunk, block),
+            (orig.reshape(nb, block, 3), d.reshape(nb, block, 3)),
+        )
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((nb * block,) + a.shape[2:])[:n], out
+        )
+    tri_hit, ti, tk = _trace_tris(scene, orig, d, chunk)
+    tt = jnp.where(tri_hit, tk, BIG)
+    st, si = intersect_spheres(
+        orig, d, scene.sph_c, scene.sph_r, scene.sph_valid, 0.0
+    )
+    use_s = st < tt
+    hit = jnp.where(use_s, st, tt) < BIG
+    tidx = jnp.maximum(ti, 0)
+    sidx = jnp.maximum(si, 0)
+    prim = jnp.where(use_s, f_pad + sidx, tidx)
+    cls = scene.prim_cls[prim]          # 8-col row gather (see RTScene)
+    mat_type = jnp.round(cls[:, 0]).astype(jnp.int32)
+    return LiteHit(hit=hit, use_s=use_s, tri=tidx, sph=sidx,
+                   t_tri=tt, st=st, mat_type=mat_type)
+
+
+def surface_attrs(scene: RTScene, orig, d, lh: LiteHit, lite: bool = False,
+                  defer_color: bool = False) -> Hit:
+    """The surface-property epilogue of `nearest_hit` for ALREADY
+    CLASSIFIED winners (same formulas: exact _mt_uv winner recompute,
+    barycentric interpolation, texture/Kd join) — so integrators can
+    COMPACT lanes between the winner search and the attribute join.
+    Per-lane outputs are identical to nearest_hit's wherever the
+    classify pick agrees (everywhere but backend-t knife-edges)."""
+    f_pad = scene.v0.shape[0]
+    use_s = lh.use_s
+    prim = jnp.where(use_s, f_pad + lh.sph, lh.tri)
+    if f_pad + scene.sph_c.shape[0] <= 1024:
+        a = _onehot_rows(prim, scene.prim_attr)
+    else:
+        a = scene.prim_attr[prim]
+    v0w, v1w, v2w = a[:, 0:3], a[:, 3:6], a[:, 6:9]
+    tu, tv, t_tri = _mt_uv(orig, d, v0w, v1w, v2w)
+
+    t = jnp.where(use_s, lh.st, t_tri)
+    t = jnp.where(lh.hit, t, BIG)
+    coords = orig + d * t[:, None]
+
+    n0, n1, n2 = a[:, 9:12], a[:, 12:15], a[:, 15:18]
+    uv0, uv1, uv2 = a[:, 18:20], a[:, 20:22], a[:, 22:24]
+    kd = a[:, 24:27]
+    emit = a[:, 27:30]
+    mat_type = jnp.round(a[:, 30]).astype(jnp.int32)
+    ior = a[:, 31]
+    mat = jnp.round(a[:, 32]).astype(jnp.int32)
+    tex = jnp.round(a[:, 33]).astype(jnp.int32)
+    obj = jnp.round(a[:, 34]).astype(jnp.int32)
+    sph_center = a[:, 0:3]
+
+    w = 1.0 - tu - tv
+    tn = w[:, None] * n0 + tu[:, None] * n1 + tv[:, None] * n2
+    tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-20)
+    if lite:
+        tcol = jnp.zeros_like(coords)
+        tuv_i = jnp.zeros((coords.shape[0], 2))
+    else:
+        tuv_i = w[:, None] * uv0 + tu[:, None] * uv1 + tv[:, None] * uv2
+        if defer_color:
+            tcol = kd
+        else:
+            packed = (
+                scene.tex_packed
+                if scene.tex_packed.shape == scene.textures.shape[:3]
+                else None
+            )
+            tcol = jnp.where(
+                (tex >= 0)[:, None],
+                fetch_nearest(scene.textures, scene.tex_wh, tex, tuv_i,
+                              packed=packed),
+                kd,
+            )
+
+    sn = coords - sph_center
+    sn = sn / jnp.maximum(jnp.linalg.norm(sn, axis=-1, keepdims=True), 1e-20)
+
+    return Hit(
+        hit=lh.hit,
+        t=t,
+        is_sphere=use_s,
+        prim=jnp.where(use_s, lh.sph, lh.tri),
         bary_u=tu,
         bary_v=tv,
         coords=coords,

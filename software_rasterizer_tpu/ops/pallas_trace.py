@@ -226,7 +226,7 @@ def trace_nearest_mm(coef, orig, d, chunk: int = 512, block: int = 2048,
     t = t.reshape(-1)[:n]
     fi = fi.reshape(-1)[:n]
     hit = t < BIG
-    return hit, jnp.where(hit, fi, -1)
+    return hit, jnp.where(hit, fi, -1), t
 
 
 def mt_tri_table(v0, v1, v2, valid):
@@ -350,7 +350,7 @@ def trace_nearest_vpu(tri_table, n_tri, orig, d, block: int = 2048,
     t = t.reshape(-1)[:n]
     fi = fi.reshape(-1)[:n]
     hit = t < BIG
-    return hit, jnp.where(hit, fi, -1)
+    return hit, jnp.where(hit, fi, -1), t
 
 
 def chunk_bounds(v0, v1, v2, valid, chunk: int):
@@ -455,21 +455,29 @@ def _trace_kernel2(cnt_ref, lst_ref, coef_ref, phi_ref, t_ref, f_ref, *,
                    chunk: int, precision=jax.lax.Precision.HIGHEST):
     """Culled sweep: this ray block visits ONLY its listed chunks.
 
-    The running best rides as FULL (chunk, Nblk) planes with tie-aware
-    elementwise updates — per-chunk (min, argmin-among-equal) reduces
-    cost ~2x the per-chunk matmul epilogue at chunk=128 (two 128-row
-    reductions per chunk vs two cheap selects here); the (chunk, Nblk)
-    -> (1, Nblk) resolve runs ONCE after the loop. Tie-break stays
-    exactly the reference's lowest-global-index rule: within a row slot
-    the LOWEST chunk wins (strict <, ascending chunk list), and ties in
-    t across row slots resolve by explicit global-index comparison."""
+    The running best rides as (1, Nblk) planes: each chunk resolves its
+    own (min t, lowest-row-among-equals) via two sublane reduces, then
+    folds into the carry with two cheap selects. Round 3 carried FULL
+    (chunk, Nblk) planes instead (reduces looked ~2x the matmul's
+    epilogue share per chunk) — but cull statistics on the demo frame
+    (tools/gather_cost.py: mean 1.9 chunks/block, p50 = 0) showed the
+    per-BLOCK fixed cost of initializing + finally resolving those 1 MB
+    carry planes dominating the whole kernel at 26.7 us/block; with
+    per-chunk resolves the fixed cost is two (1, Nblk) rows and the
+    zero-chunk majority of blocks becomes ~free (measured 13.7 -> 5.3 ms
+    at 1M rays on the demo scene).
+
+    Tie-break stays exactly the reference's lowest-global-index rule:
+    within a chunk the lowest row wins (min over rows among equal t);
+    across chunks the EARLIER chunk wins equal t (strict <, ascending
+    chunk list, and chunk order == global index order)."""
     b = pl.program_id(0)
     cnt = cnt_ref[b]
     phi = phi_ref[...]
     n = phi.shape[1]
 
     def body(j, carry):
-        best_t, best_f = carry                                   # (C, Nblk)
+        best_t, best_f = carry                                   # (1, Nblk)
         c = lst_ref[0, 0, j]
         prod = jax.lax.dot_general(
             coef_ref[c], phi,
@@ -493,31 +501,28 @@ def _trace_kernel2(cnt_ref, lst_ref, coef_ref, phi_ref, t_ref, f_ref, *,
             & (t >= 1e-6)
         )
         tm = jnp.where(ok, t, 1e30)
+        ct = jnp.min(tm, axis=0, keepdims=True)                  # (1, Nblk)
         rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-        fm = rows + c * chunk
-        # equal t within a row slot: the earlier (lower-index) chunk
-        # wins via strict <; chunk lists are ascending
-        better = tm < best_t
+        cf = jnp.min(
+            jnp.where(tm == ct, rows, jnp.int32(0x7FFFFFFF)),
+            axis=0, keepdims=True,
+        ) + c * chunk
+        # equal t across chunks: the earlier (lower-index) chunk wins
+        # via strict <; chunk lists are ascending
+        better = ct < best_t
         return (
-            jnp.where(better, tm, best_t),
-            jnp.where(better, fm, best_f),
+            jnp.where(better, ct, best_t),
+            jnp.where(better, cf, best_f),
         )
 
     init = (
-        jnp.full((chunk, n), 1e30, jnp.float32),
-        jnp.full((chunk, n), 0x7FFFFFFF, jnp.int32),
+        jnp.full((1, n), 1e30, jnp.float32),
+        jnp.full((1, n), 0x7FFFFFFF, jnp.int32),
     )
     best_t, best_f = jax.lax.fori_loop(0, cnt, body, init)
-    # one final exact resolve: min t, then lowest global index among
-    # the equal-t row slots
-    ct = jnp.min(best_t, axis=0, keepdims=True)                  # (1, Nblk)
-    cf = jnp.min(
-        jnp.where(best_t == ct, best_f, jnp.int32(0x7FFFFFFF)),
-        axis=0, keepdims=True,
-    )
-    miss = ct >= 1e30
-    t_ref[0] = ct
-    f_ref[0] = jnp.where(miss, -1, cf)
+    miss = best_t >= 1e30
+    t_ref[0] = best_t
+    f_ref[0] = jnp.where(miss, -1, best_f)
 
 
 # NOT @jax.jit: callers are jitted, and a nested jit here trips a
@@ -610,7 +615,7 @@ def trace_nearest_mm2(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
     t = t.reshape(-1)[:n]
     fi = fi.reshape(-1)[:n]
     hit = t < BIG
-    return hit, jnp.where(hit, fi, -1)
+    return hit, jnp.where(hit, fi, -1), t
 
 
 def _trace_kernel3(cnt_ref, lst_ref, coef_hbm, phi_ref, t_ref, f_ref,
@@ -796,4 +801,4 @@ def trace_nearest_mm2_stream(coef, chunk_lo, chunk_hi, orig, d,
     t = t.reshape(-1)[:n]
     fi = fi.reshape(-1)[:n]
     hit = t < BIG
-    return hit, jnp.where(hit, fi, -1)
+    return hit, jnp.where(hit, fi, -1), t

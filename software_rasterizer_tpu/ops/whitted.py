@@ -40,7 +40,14 @@ import jax.numpy as jnp
 
 from software_rasterizer_tpu.ops import optics
 from software_rasterizer_tpu.ops.camera import camera_rays
-from software_rasterizer_tpu.ops.intersect import Hit, RTScene, nearest_hit
+from software_rasterizer_tpu.ops.intersect import (
+    Hit,
+    LiteHit,
+    RTScene,
+    classify_hit,
+    nearest_hit,
+    surface_attrs,
+)
 from software_rasterizer_tpu.ops.path import compact_perm
 from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
 
@@ -285,17 +292,16 @@ def _fetch_color(scene: RTScene, hit: Hit):
     )
 
 
-def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
+def _phong_deferred(scene: RTScene, lh, orig, i_dir, is_diffuse, spp: int,
                     key, block: int, chunk: int, rid, cap_frac,
                     shadow_bias=SHADOW_BIAS):
-    """whitted_phong_direct on diffuse-live 2048-lane BLOCKS only.
-
-    The Phong direct stage (shadow-trace cull prepass, texture-atlas
-    gather, material join, Blinn-Phong math) costs per LANE regardless
-    of the diffuse mask — at 1M lanes that is ~15 ms/depth on v5e while
-    only ~24% of tile-order blocks contain any diffuse hit (demo scene;
-    tools/diffuse_blocks.py). Compacting whole blocks first runs all of
-    it at cap_frac of the width:
+    """whitted_phong_direct on diffuse-live 2048-lane BLOCKS only —
+    including the winner ATTRIBUTE JOIN (surface_attrs: 40-col row
+    gather, exact _mt_uv recompute, normal/uv interpolation, texture
+    fetch), which round 4 moved here from the full-width nearest_hit
+    epilogue (tools/whitted_slopes.py measured that epilogue at ~22 ms
+    per 1M lanes — more than the trace kernel itself — while only ~24%
+    of tile-order blocks contain any diffuse hit).
 
       * block-granular gathers/scatters are contiguous-row moves
         (bandwidth-bound, ~0.1 ms), not the per-lane permutations that
@@ -310,20 +316,26 @@ def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
         documents this) — future golden drift at that level is
         reassociation, not a logic change;
       * a frame whose diffuse-live block count exceeds the cap falls
-        back to the full-width path via lax.cond — exact, never lossy
-        (the raster deferred-shading recipe, ops/raster.py).
+        back to the full-width path via lax.cond — never lossy, and
+        allclose-exact vs the shade_cap=None program (the cond branch
+        compiles separately, so XLA reassociates FMAs there too).
 
-    Returns (N,3) `direct`, zero outside `is_diffuse`."""
+    `lh`: the depth's classify_hit result; `orig` the traced (neutered)
+    ray origins. Returns (N,3) `direct`, zero outside `is_diffuse`."""
     n = is_diffuse.shape[0]
     nb = n // _SHADE_BLK
-    if cap_frac is None or n % _SHADE_BLK or nb < 64:
-        color = _fetch_color(scene, hit)
+
+    def full(_=None):
+        hit = surface_attrs(scene, orig, i_dir, lh)
         d = whitted_phong_direct(
-            scene, hit.coords, hit.normal, color, hit.mat, i_dir, spp,
+            scene, hit.coords, hit.normal, hit.color, hit.mat, i_dir, spp,
             key, block, chunk, rid=rid, mask=is_diffuse,
             shadow_bias=shadow_bias,
         )
         return jnp.where(is_diffuse[:, None], d, 0.0)
+
+    if cap_frac is None or n % _SHADE_BLK or nb < 64:
+        return full()
 
     cap_b = min(nb, max(8, _align_up(int(nb * cap_frac), 8)))
     blk_live = jnp.any(is_diffuse.reshape(nb, _SHADE_BLK), axis=1)
@@ -340,28 +352,21 @@ def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
         # lanes are masked dead, traced as canned miss rays, and their
         # deposits zeroed before scatter-back
         mask_c = (g(is_diffuse, 0) & slot_ok[:, None]).reshape(-1)
-        coords_c = g(hit.coords, 3).reshape(-1, 3)
-        nrm_c = g(hit.normal, 3).reshape(-1, 3)
-        col_c = g(hit.color, 3).reshape(-1, 3)
+        orig_c = g(orig, 3).reshape(-1, 3)
         dir_c = g(i_dir, 3).reshape(-1, 3)
-        tuv_c = g(hit.tuv, 2).reshape(-1, 2)
-        mat_c = g(hit.mat, 0).reshape(-1)
-        tex_c = g(hit.tex, 0).reshape(-1)
         rid_c = g(rid, 0).reshape(-1)
-
-        packed = (
-            scene.tex_packed
-            if scene.tex_packed.shape == scene.textures.shape[:3]
-            else None
+        lh_c = LiteHit(
+            hit=g(lh.hit, 0).reshape(-1),
+            use_s=g(lh.use_s, 0).reshape(-1),
+            tri=g(lh.tri, 0).reshape(-1),
+            sph=g(lh.sph, 0).reshape(-1),
+            t_tri=g(lh.t_tri, 0).reshape(-1),
+            st=g(lh.st, 0).reshape(-1),
+            mat_type=g(lh.mat_type, 0).reshape(-1),
         )
-        col_c = jnp.where(
-            (tex_c >= 0)[:, None],
-            fetch_nearest(scene.textures, scene.tex_wh, tex_c, tuv_c,
-                          packed=packed),
-            col_c,
-        )
+        h = surface_attrs(scene, orig_c, dir_c, lh_c)
         d_c = whitted_phong_direct(
-            scene, coords_c, nrm_c, col_c, mat_c, dir_c, spp, key,
+            scene, h.coords, h.normal, h.color, h.mat, dir_c, spp, key,
             block, chunk, rid=rid_c, mask=mask_c,
             shadow_bias=shadow_bias,
         )
@@ -382,15 +387,6 @@ def _phong_deferred(scene: RTScene, hit: Hit, i_dir, is_diffuse, spp: int,
             for c in range(3)
         ]
         return jnp.stack(outs, axis=-1).reshape(n, 3)
-
-    def full(_):
-        color = _fetch_color(scene, hit)
-        d = whitted_phong_direct(
-            scene, hit.coords, hit.normal, color, hit.mat, i_dir, spp,
-            key, block, chunk, rid=rid, mask=is_diffuse,
-            shadow_bias=shadow_bias,
-        )
-        return jnp.where(is_diffuse[:, None], d, 0.0)
 
     return jax.lax.cond(n_live <= cap_b, compacted, full, None)
 
@@ -502,20 +498,22 @@ def whitted_trace(
         # consumers below mask by `live`)
         t_orig, t_dir = _neuter_dead(live, rays["orig"], rays["dir"])
         rays_main = rays_main + jnp.sum(live.astype(jnp.int32))
-        hit = blocked_nearest_hit(scene, t_orig, t_dir, block, chunk,
-                                  defer_color=True)
+        # winner + material class ONLY at full width (classify_hit); the
+        # attribute epilogue (40-col join, exact recompute, interp,
+        # texture) runs later at COMPACTED widths — it measured ~22 ms
+        # per 1M lanes at full width, more than the trace kernel itself
+        lh = classify_hit(scene, t_orig, t_dir, chunk, block)
         weight = rays["weight"]
 
         # miss -> background (Scene.cpp:493-497)
-        miss = live & ~hit.hit
+        miss = live & ~lh.hit
 
-        mat_type = hit.mat_type
+        mat_type = lh.mat_type
         i_dir = rays["dir"]  # camera/child dirs are normalized on creation
-        nrm = hit.normal
 
         # DIFFUSE_AND_GLOSSY -> terminal Phong direct lighting, run at
-        # diffuse-live blocks only (texture fetch deferred to there too)
-        is_diffuse = live & hit.hit & (mat_type == 0)
+        # diffuse-live blocks only (attribute join deferred to there too)
+        is_diffuse = live & lh.hit & (mat_type == 0)
         rays_shadow = rays_shadow + shadow_evals * jnp.sum(
             is_diffuse.astype(jnp.int32)
         )
@@ -523,7 +521,7 @@ def whitted_trace(
             shade_cap[min(depth, len(shade_cap) - 1)] if shade_cap else None
         )
         direct = _phong_deferred(
-            scene, hit, i_dir, is_diffuse, spp,
+            scene, lh, t_orig, i_dir, is_diffuse, spp,
             jax.random.fold_in(key, depth), block, chunk,
             rid=rays["rid"], cap_frac=cap_frac, shadow_bias=shadow_bias,
         )
@@ -564,7 +562,7 @@ def whitted_trace(
         # loses its reflect child plus, for glass parents, the refract
         # child (counted even if total internal reflection would have
         # killed it — its Fresnel term is never computed).
-        is_spec = live & hit.hit & ((mat_type == 1) | (mat_type == 2))
+        is_spec = live & lh.hit & ((mat_type == 1) | (mat_type == 2))
         is_glass = is_spec & (mat_type == 1)
         # queue_shrink >= 1.0 disables the geometric schedule entirely:
         # capacity then doubles per depth up to n*queue_factor, so
@@ -601,18 +599,35 @@ def whitted_trace(
             )
         slot_ok = jnp.arange(half, dtype=jnp.int32) < n_spec
 
+        # compact the LITE state of the parents (one 14-col row gather),
+        # then join their surface attributes at the compacted width —
+        # the 40-col join + exact recompute + normal interpolation all
+        # run at half-queue width instead of full
         pf = jnp.concatenate([
-            hit.coords, rays["dir"], hit.normal, weight,
-            hit.ior[:, None],
-            hit.mat_type.astype(jnp.float32)[:, None],
+            t_orig, rays["dir"], weight,
+            lh.st[:, None],
+            lh.tri.astype(jnp.float32)[:, None],
+            lh.sph.astype(jnp.float32)[:, None],
+            lh.use_s.astype(jnp.float32)[:, None],
+            lh.mat_type.astype(jnp.float32)[:, None],
         ], axis=1)[perm]                                  # (half, 14)
         links.append((perm, n_spec, half))
         p_rid = rays["rid"][perm]
-        c_coords = pf[:, 0:3]
+        lh_c = LiteHit(
+            hit=jnp.ones((half,), bool),  # every compacted parent hit
+            use_s=pf[:, 12] > 0.5,
+            tri=jnp.round(pf[:, 10]).astype(jnp.int32),
+            sph=jnp.round(pf[:, 11]).astype(jnp.int32),
+            t_tri=pf[:, 9],  # unused by surface_attrs (exact recompute)
+            st=pf[:, 9],
+            mat_type=jnp.round(pf[:, 13]).astype(jnp.int32),
+        )
+        h_c = surface_attrs(scene, pf[:, 0:3], pf[:, 3:6], lh_c, lite=True)
+        c_coords = h_c.coords
         c_idir = pf[:, 3:6]
-        c_nrm = pf[:, 6:9]   # hit.normal is already unit length
-        c_w = pf[:, 9:12]
-        c_ior = pf[:, 12]
+        c_nrm = h_c.normal   # already unit length
+        c_w = pf[:, 6:9]
+        c_ior = h_c.ior
         c_glass = jnp.round(pf[:, 13]).astype(jnp.int32) == 1
 
         kr = jnp.clip(optics.fresnel(c_idir, c_nrm, c_ior), 0.0, 1.0)

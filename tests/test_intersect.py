@@ -190,9 +190,9 @@ def test_mm_trace_kernel_matches_xla_sweep():
     coef = mt_tri_coef(
         jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(valid)
     )
-    h1, i1 = trace_nearest_mm(coef, jnp.asarray(orig), jnp.asarray(d),
+    h1, i1, _ = trace_nearest_mm(coef, jnp.asarray(orig), jnp.asarray(d),
                               chunk=32, block=256, interpret=True)
-    h2, i2 = _intersect_tri_raw(
+    h2, i2, _ = _intersect_tri_raw(
         jnp.asarray(orig), jnp.asarray(d), jnp.asarray(v0), jnp.asarray(v1),
         jnp.asarray(v2), jnp.asarray(valid), chunk=32,
     )
@@ -268,7 +268,7 @@ def test_trace_nearest_mm2_matches_brute(monkeypatch):
 
     coef = mt_tri_coef(v0, v1, v2, valid)
     lo, hi = chunk_bounds(v0, v1, v2, valid, 64)
-    hit2, i2 = trace_nearest_mm2(
+    hit2, i2, _ = trace_nearest_mm2(
         coef, lo, hi, orig, d, chunk=64, block=256, interpret=True
     )
     hit1, i1, _, _ = intersect_triangles(orig, d, v0, v1, v2, valid, chunk=64)
@@ -306,7 +306,7 @@ def test_trace_nearest_mm2_many_chunks():
     coef = mt_tri_coef(v0, v1, v2, valid)
     lo, hi = chunk_bounds(v0, v1, v2, valid, 16)
     assert lo.shape[0] == 160
-    hit2, i2 = trace_nearest_mm2(
+    hit2, i2, _ = trace_nearest_mm2(
         coef, lo, hi, orig, d, chunk=16, block=256, interpret=True
     )
     hit1, i1, _, _ = intersect_triangles(orig, d, v0, v1, v2, valid, chunk=64)
@@ -346,7 +346,7 @@ def test_trace_nearest_mm2_stream_matches_brute():
     coef = mt_tri_coef(v0, v1, v2, valid)
     lo, hi = chunk_bounds(v0, v1, v2, valid, 16)
     assert lo.shape[0] == 1100
-    hit2, i2 = trace_nearest_mm2_stream(
+    hit2, i2, _ = trace_nearest_mm2_stream(
         coef, lo, hi, orig, d, chunk=16, block=256, interpret=True
     )
     hit1, i1, _, _ = intersect_triangles(orig, d, v0, v1, v2, valid, chunk=64)

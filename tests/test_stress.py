@@ -54,10 +54,10 @@ def test_stress_scene_size(stress_rt):
 def test_chunk_culled_matches_brute_at_100k(stress_rt):
     _, _, rt = stress_rt
     orig, d = _rays(rt)
-    hit_b, idx_b = _intersect_tri_raw(
+    hit_b, idx_b, _ = _intersect_tri_raw(
         orig, d, rt.v0, rt.v1, rt.v2, rt.tri_valid, cull_chunks=False
     )
-    hit_c, idx_c = _intersect_tri_raw(
+    hit_c, idx_c, _ = _intersect_tri_raw(
         orig, d, rt.v0, rt.v1, rt.v2, rt.tri_valid, cull_chunks=True
     )
     np.testing.assert_array_equal(np.asarray(hit_b), np.asarray(hit_c))
@@ -68,7 +68,7 @@ def test_chunk_culled_matches_brute_at_100k(stress_rt):
 def test_bvh_nearest_hit_matches_brute_at_100k(stress_rt):
     _, _, rt = stress_rt
     orig, d = _rays(rt, n=256, seed=1)
-    hit_b, idx_b = _intersect_tri_raw(
+    hit_b, idx_b, _ = _intersect_tri_raw(
         orig, d, rt.v0, rt.v1, rt.v2, rt.tri_valid, cull_chunks=False
     )
     v0 = np.asarray(rt.v0)

@@ -134,10 +134,13 @@ def test_deferred_shading_block_compaction_exact(models_dir):
     (generous cap) and the lax.cond overflow fallback (cap of ~0).
 
     512x512 = 128 trace blocks, enough to engage the cap (nb >= 64).
-    The compacted branch is the same per-lane computation over the same
+    Both branches are the same per-lane computation over the same
     2048-lane block populations, so agreement is exact up to XLA
-    program-shape FMA reassociation — assert allclose at fp tolerance
-    and that the vast majority of pixels are BIT-equal."""
+    program-shape FMA reassociation (since round 4 the attribute join +
+    Phong math live INSIDE the lax.cond branches, so even the full-width
+    fallback compiles as a different program than the uncond'd
+    shade_cap=None path) — assert allclose at fp tolerance and that the
+    vast majority of pixels are BIT-equal."""
     import sys
 
     sys.path.insert(0, "examples")
@@ -158,9 +161,12 @@ def test_deferred_shading_block_compaction_exact(models_dir):
     over = np.asarray(whitted_render(
         rt, w, h, scene.fovy, key, shade_cap=(1e-9, 1e-9), **kw))
 
-    # overflow fallback IS the full-width path — identical program
-    np.testing.assert_array_equal(over, plain)
+    # overflow fallback: the full-width computation inside the cond —
+    # reassociation-only drift vs the uncond'd plain program
+    np.testing.assert_allclose(over, plain, rtol=1e-5, atol=1e-5)
+    bitsame_o = (over == plain).all(axis=-1).mean()
+    assert bitsame_o > 0.97, f"only {bitsame_o:.4f} of pixels bit-equal"
     # compacted branch: same math per lane, different program shape
     np.testing.assert_allclose(comp, plain, rtol=1e-5, atol=1e-5)
     bitsame = (comp == plain).all(axis=-1).mean()
-    assert bitsame > 0.99, f"only {bitsame:.4f} of pixels bit-equal"
+    assert bitsame > 0.97, f"only {bitsame:.4f} of pixels bit-equal"

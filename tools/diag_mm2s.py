@@ -52,7 +52,7 @@ def main():
         )
     brute = jax.jit(brute)
 
-    hs, is_ = mm2s(orig, d)
+    hs, is_, _ = mm2s(orig, d)
     hb, ib = brute(orig, d)
     hs = np.asarray(hs)
     is_ = np.asarray(is_).reshape(-1)
