@@ -416,6 +416,92 @@ def bench_path(width, height, spp, repeats):
     })
 
 
+def bench_textured(width, height, spp, repeats):
+    """Textured path tracing on the chip (round-3 verdict item 4) —
+    two rows:
+      * textured_back: the real spot texture bound to the Cornell BACK
+        WALL (36 tris) — the fused persistent kernel's textured-
+        non-emissive gate (opened in r3, statistics-tested in interpret
+        mode) finally measured ON TPU;
+      * spot_cow: the textured spot cow (5856 tris) inside the box —
+        above the fused kernel's 512-tri SMEM-table gate, so it runs
+        the XLA wavefront over the mm2 trace tier (the verdict asked
+        for the real number + why when the fused path doesn't apply).
+    """
+    import jax
+    import numpy as np
+
+    from software_rasterizer_tpu.models import Material, MaterialType
+    from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
+    from software_rasterizer_tpu.ops.path import _fused_auto, path_render
+    from software_rasterizer_tpu.ops.shading import ShaderType
+    from software_rasterizer_tpu.scenes import build_cornell_scene
+    from software_rasterizer_tpu.utils.rng import make_key
+
+    models = "/root/reference/examples/models"
+
+    def run(name, scene, note):
+        scene.set_ndc_matrix(width, height)
+        rt = jax.tree_util.tree_map(
+            jax.device_put,
+            prepare_rt_scene(scene.rt_geometry(), scene.rt_frame()),
+        )
+
+        def render(seed):
+            img = path_render(rt, width, height, scene.fovy,
+                              make_key(seed), spp=spp)
+            np.asarray(img[0, 0, 0])  # force completion (axon quirk)
+            return img
+
+        t0 = time.time()
+        img = render(0)
+        compile_s = time.time() - t0
+        ts = []
+        for r in range(repeats):
+            t0 = time.time()
+            render(r + 1)
+            ts.append(time.time() - t0)
+        best = min(ts)
+        mpaths = width * height * spp / best / 1e6
+        mean = float(np.clip(np.asarray(img), 0, 1).mean())
+        _emit({
+            "metric": f"textured_path_throughput[{name}]",
+            "value": round(mpaths, 3),
+            "unit": "Mpaths/s",
+            "vs_baseline": round(mpaths * 1e6 / BASELINE_MPATHS, 3),
+            "config": f"{width}x{height}@{spp}spp",
+            "fused_kernel": bool(_fused_auto(rt)),
+            "n_tris": int(np.asarray(rt.tri_valid).sum()),
+            "render_s": round(best, 3),
+            "mean_clipped": round(mean, 4),
+            "first_call_s": round(compile_s, 3),
+            "note": note,
+            "device": str(jax.devices()[0]),
+        })
+
+    s1 = build_cornell_scene()
+    s1.add_shader("spot_tex", f"{models}/spot/spot_texture.png",
+                  ShaderType.TEXTURE)
+    s1.bind_shader_to_mesh("back", "spot_tex")
+    run("textured_back", s1,
+        "fused persistent kernel, textured non-emissive wall")
+
+    s2 = build_cornell_scene()
+    s2.add_graphic_obj(f"{models}/spot/spot_triangulated_good.obj", "spot",
+                       (0.0, 1.0, 0.0), 180.0, (0.0, -0.1, 0.0),
+                       (0.12,) * 3)
+    s2.start_loading_mesh("spot")
+    s2.get_mesh_obj("spot").material = Material(
+        type=MaterialType.DIFFUSE_AND_GLOSSY, Kd=(1.0,) * 3
+    )
+    s2.add_shader("spot_tex", f"{models}/spot/spot_texture.png",
+                  ShaderType.TEXTURE)
+    s2.bind_shader_to_mesh("spot", "spot_tex")
+    run("spot_cow", s2,
+        "5856-tri textured cow in the box: above the fused kernel's "
+        "512-tri SMEM gate -> XLA wavefront over the mm2 trace tier")
+
+
 def bench_stress(width, height, repeats):
     """Scaling-path proof: nearest-hit primary-ray sweep on the
     318K-triangle tessellated bunny. Measures the PRODUCTION backend for
@@ -629,6 +715,9 @@ def main():
         attempt(bench_whitted, width, height, repeats)
     if mode == "path":
         attempt(bench_path, width, height, spp, repeats, required=True)
+    if mode == "textured":
+        attempt(bench_textured, width, height, spp, repeats)
+        return
     if mode == "stress":
         attempt(bench_stress, width, height, max(repeats, 2))
 
