@@ -291,7 +291,7 @@ def bench_whitted(width, height, repeats):
     # measured on coherent depth-0 rays (the cheapest case), so the
     # floor is optimistic and pct_of_trace_floor is a lower bound.
     from software_rasterizer_tpu.ops.camera import camera_rays
-    from software_rasterizer_tpu.ops.whitted import blocked_nearest_hit
+    from software_rasterizer_tpu.ops.intersect import classify_hit
 
     rt0 = jax.jit(lambda fr: prepare_rt_scene(geom, fr))(bundles[0])
     rt0 = jax.tree_util.tree_map(jax.device_put, rt0)
@@ -325,9 +325,16 @@ def bench_whitted(width, height, repeats):
             walls.append(_t.time() - t0)
         return min(walls) / n_reps / (width * height)  # s per ray
 
-    ns_main = rate_of(
-        lambda o, dd: blocked_nearest_hit(rt0, o, dd, defer_color=True).t[0]
-    ) * 1e9
+    def _classify_scalar(o, dd):
+        # consume every classify output the frame consumes — a partial
+        # read lets XLA dead-code-eliminate the triangle trace kernel
+        # (measured: an st-only read timed 0.12 ms for a "1M-ray trace")
+        lh = classify_hit(rt0, o, dd)
+        return (lh.t_tri[0] + lh.st[0]
+                + lh.mat_type[0].astype(jnp.float32)
+                + lh.hit[0].astype(jnp.float32))
+
+    ns_main = rate_of(_classify_scalar) * 1e9
     from software_rasterizer_tpu.ops.intersect import nearest_emit_hit
     ns_shadow = rate_of(
         lambda o, dd: nearest_emit_hit(rt0, o, dd).t[0]
@@ -361,10 +368,11 @@ def bench_whitted(width, height, repeats):
             "ns_per_shadow_ray": round(ns_shadow, 2),
             "rays_main_pf_M": round(float(rays_main.mean()) / 1e6, 3),
             "rays_shadow_pf_M": round(float(rays_shadow.mean()) / 1e6, 3),
-            "note": "floor = frame's live traced rays x the trace "
-                    "kernels' isolated per-ray cost on coherent "
-                    "depth-0 rays (optimistic, so pct is a lower "
-                    "bound on trace-work share)",
+            "note": "floor = frame's live traced rays x the isolated "
+                    "per-ray cost of the classify step (main) / "
+                    "emit-only hit (shadow) on coherent depth-0 "
+                    "rays (optimistic, so pct is a lower bound on "
+                    "trace-work share)",
         },
         "dropped_rays": dropped,
         "first_call_s": round(compile_s, 3),

@@ -54,6 +54,14 @@ BIG = jnp.float32(1e30)
 VPU_TRACE_MAX_TRIS = 1024
 MM_TRACE_MAX_TRIS = 16384
 MM2_CHUNK = 128    # culling granule of the VMEM-resident mm2 kernel
+MM2_BLOCK = 2048   # rays per mm2 kernel program. STANDALONE, 8192 beat
+                   # 2048 by 2.6x at 1M demo rays (1.66 vs 4.38 ms,
+                   # tools/trace_block_ab.py) — but IN-FRAME the whitted
+                   # render got ~12 ms SLOWER at 8192 (depth-0 main
+                   # trace 8.2 -> 16.0 ms, shadow trace 5.3 -> 10.6;
+                   # profile_whitted, reproducible). Standalone slopes
+                   # bound in-frame behavior only loosely on this
+                   # platform; 2048 is the measured in-frame optimum.
 MM2S_CHUNK = 256   # coarser granule for the HBM-streaming tier: fewer,
                    # larger DMAs/matmuls win above ~100K tris (measured
                    # 318K-tri sweep: 256 beat 128 by 12%, 512-ray DMA
@@ -557,7 +565,7 @@ def _trace_tris(scene: RTScene, orig, d, chunk: int):
     if backend == "mm2":
         return trace_nearest_mm2(
             scene.mt_coef, scene.chunk_lo, scene.chunk_hi, orig, d,
-            chunk=MM2_CHUNK, block=2048, interpret=interp,
+            chunk=MM2_CHUNK, block=MM2_BLOCK, interpret=interp,
         )
     if backend == "mm2s":
         return trace_nearest_mm2_stream(

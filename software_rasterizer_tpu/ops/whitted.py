@@ -407,6 +407,7 @@ def whitted_trace(
     pixel_ids=None,
     shade_cap=(0.375, 0.125, 0.125),
     shadow_bias=SHADOW_BIAS,
+    _debug_skip=(),
 ):
     """Trace one Whitted sample tree per lane. orig/d: (N,3) normalized
     camera rays. Returns (N,3) radiance, or (radiance, stats) when
@@ -520,11 +521,14 @@ def whitted_trace(
         cap_frac = (
             shade_cap[min(depth, len(shade_cap) - 1)] if shade_cap else None
         )
-        direct = _phong_deferred(
-            scene, lh, t_orig, i_dir, is_diffuse, spp,
-            jax.random.fold_in(key, depth), block, chunk,
-            rid=rays["rid"], cap_frac=cap_frac, shadow_bias=shadow_bias,
-        )
+        if "phong" in _debug_skip:   # profiling knob (tools/), not API
+            direct = jnp.zeros((cap, 3))
+        else:
+            direct = _phong_deferred(
+                scene, lh, t_orig, i_dir, is_diffuse, spp,
+                jax.random.fold_in(key, depth), block, chunk,
+                rid=rays["rid"], cap_frac=cap_frac, shadow_bias=shadow_bias,
+            )
         # one combined radiance deposit per depth; at depth 0 lane i is
         # slot i of the lane-order image, so a plain add replaces the
         # scatter
@@ -708,7 +712,7 @@ def whitted_trace(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "block", "chunk",
                      "queue_factor", "queue_shrink", "with_stats",
-                     "shade_cap", "shadow_bias"),
+                     "shade_cap", "shadow_bias", "_debug_skip"),
 )
 def whitted_render(
     scene: RTScene,
@@ -725,6 +729,7 @@ def whitted_render(
     with_stats: bool = False,
     shade_cap=(0.375, 0.125, 0.125),
     shadow_bias: float = SHADOW_BIAS,
+    _debug_skip=(),
 ):
     """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp);
     with_stats=True returns (image, stats) — see whitted_trace.
@@ -767,6 +772,7 @@ def whitted_render(
         scene, orig, d, key, spp, max_depth, block, chunk, queue_factor,
         queue_shrink, with_stats=with_stats, pixel_ids=pid,
         shade_cap=shade_cap, shadow_bias=shadow_bias,
+        _debug_skip=_debug_skip,
     )
     img, stats = out if with_stats else (out, None)
     img = from_tiles(img) if tiled else img.reshape(height, width, 3)
