@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_SEED_ABLATE = False  # tools/seed_ab.py timing A/B only
 INV_2PI = 0.15915494309189535
 INV_PI = 0.3183098861837907
 TWO_PI = 6.283185307179586
@@ -679,11 +680,19 @@ def _pt_kernel(scal_ref, seeds_ref, cam_ref, ecr_ref, tri_ref, attr_ref,
 
         restart = (~live) & (next_s < spp)
         # per-sample seed: the current sample index of a live lane is
-        # next_s - 1 (seeds_ref holds one jax.random seed per sample)
+        # next_s - 1 (seeds_ref holds one jax.random seed per sample).
+        # local_s is PER-LANE, so the r2-advice "SMEM scalar load" is
+        # structurally impossible (it would be a per-lane gather, which
+        # Mosaic rejects — tools/gather_probe.py); the select chain is
+        # the supported form, and tools/seed_ab.py measures its cost
+        # (_SEED_ABLATE short-circuits it for that timing A/B only).
         local_s = jnp.maximum(next_s - 1, 0)
-        seed = jnp.zeros(shape, jnp.int32)
-        for k in range(spp_static):
-            seed = jnp.where(local_s == k, seeds_ref[k], seed)
+        if _SEED_ABLATE:
+            seed = jnp.full(shape, seeds_ref[0], jnp.int32)
+        else:
+            seed = jnp.zeros(shape, jnp.int32)
+            for k in range(spp_static):
+                seed = jnp.where(local_s == k, seeds_ref[k], seed)
         rng = _RngDyn(seed, lane, depth * 8)
 
         nnx, nny, nnz = _norm3(nx, ny, nz)

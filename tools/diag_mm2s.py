@@ -22,7 +22,7 @@ from software_rasterizer_tpu.scenes.stress import build_stress_scene
 
 def main():
     w = h = 512
-    scene = build_stress_scene(levels=3)
+    scene = build_stress_scene(levels=int(os.environ.get('LEVELS', 3)))
     scene.set_ndc_matrix(w, h)
     geom = scene.rt_geometry()
     rt = jax.tree_util.tree_map(
@@ -53,7 +53,7 @@ def main():
     brute = jax.jit(brute)
 
     hs, is_, _ = mm2s(orig, d)
-    hb, ib = brute(orig, d)
+    hb, ib, _tb = brute(orig, d)
     hs = np.asarray(hs)
     is_ = np.asarray(is_).reshape(-1)
     hb = np.asarray(hb).reshape(-1)
@@ -65,6 +65,9 @@ def main():
           f"idx mismatches: {idx_mis.sum()}")
     bad = np.where(idx_mis)[0][:20]
     if bad.size:
+        from software_rasterizer_tpu.ops.pallas_trace import _cull_prepass
+        ov = jax.jit(lambda: _cull_prepass(
+            rt.chunk_lo, rt.chunk_hi, orig, d, 2048))()
         o_np = np.asarray(orig)
         d_np = np.asarray(d)
         v0 = np.asarray(rt.v0)
@@ -83,7 +86,24 @@ def main():
                     jnp.asarray(v2[j][None]),
                 )
                 row.append((j, float(t[0])))
-            print(f"ray {i}: mm2s={row[0]}, brute={row[1]}")
+            # det of each winner (threshold-flip detector: the MXU
+            # bilinear det vs the FMA det straddling the 1e-6 cut) and
+            # whether the brute winner's CHUNK was in the cull list
+            # (cull-bug detector)
+            def det_of(j):
+                if j < 0:
+                    return None
+                e1 = v1[j] - v0[j]
+                e2 = v2[j] - v0[j]
+                return float(np.dot(e1, np.cross(d_np[i], e2)))
+
+            gran = _cull_granule(rt.v0.shape[0])
+            blk = i // 2048
+            cb = (ib[i] // gran) if ib[i] >= 0 else -1
+            visited = bool(np.asarray(ov)[blk, cb]) if cb >= 0 else None
+            print(f"ray {i}: mm2s={row[0]} det={det_of(int(is_[i]))}, "
+                  f"brute={row[1]} det={det_of(int(ib[i]))} "
+                  f"brute_chunk_visited={visited}")
 
 
 if __name__ == "__main__":
