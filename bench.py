@@ -423,6 +423,43 @@ def bench_path(width, height, spp, repeats):
         "first_call_s": round(compile_s, 3),
     })
 
+    # APPLES-TO-APPLES headline: the reference's published number IS the
+    # 2048-spp Cornell render (~810 s wall, README.md:561,613 — the
+    # 2.65 Mpaths/s baseline derives from exactly this config). The
+    # fused kernel's 64-sample dispatches amortize tail divergence that
+    # a 16-spp frame cannot (measured 124.9 vs 95.7 Mpaths/s), so the
+    # full-config row runs faster per path. BENCH_FULL_SPP=0 skips it.
+    full_spp = int(os.environ.get("BENCH_FULL_SPP", 2048))
+    if full_spp:
+        t0 = time.time()
+        render_full = lambda seed: (
+            path_render(rt, width, height, scene.fovy, make_key(seed),
+                        spp=full_spp),
+        )[0]
+        img = render_full(0)
+        np.asarray(img[0, 0, 0])
+        compile2 = time.time() - t0
+        ts2 = []
+        for r in range(max(1, repeats - 1)):
+            t0 = time.time()
+            img = render_full(100 + r)
+            np.asarray(img[0, 0, 0])
+            ts2.append(time.time() - t0)
+        best2 = min(ts2)
+        mp2 = width * height * full_spp / best2 / 1e6
+        _emit({
+            "metric": "cornell_path_tracing_throughput",
+            "value": round(mp2, 3),
+            "unit": "Mpaths/s",
+            "vs_baseline": round(mp2 * 1e6 / BASELINE_MPATHS, 3),
+            "config": f"{width}x{height}@{full_spp}spp "
+                      "(the reference's own benchmark config)",
+            "device": str(jax.devices()[0]),
+            "render_s": round(best2, 3),
+            "reference_wall_s": 810,
+            "first_call_s": round(compile2, 3),
+        })
+
 
 def bench_textured(width, height, spp, repeats):
     """Textured path tracing on the chip (round-3 verdict item 4) —
