@@ -28,6 +28,7 @@ from software_rasterizer_tpu.ops.pallas_trace import (
     trace_nearest_mm,
     trace_nearest_mm2,
     trace_nearest_mm2_stream,
+    trace_nearest_mm2c,
     trace_nearest_vpu,
 )
 
@@ -563,7 +564,10 @@ def _trace_tris(scene: RTScene, orig, d, chunk: int):
             interpret=interp,
         )
     if backend == "mm2":
-        return trace_nearest_mm2(
+        # fused-cull variant: identical winner selection (interpret-mode
+        # bit-equality + on-chip winner check, tools/mm2c_ab.py), no
+        # separate prepass dispatch / mask / list build per trace call
+        return trace_nearest_mm2c(
             scene.mt_coef, scene.chunk_lo, scene.chunk_hi, orig, d,
             chunk=MM2_CHUNK, block=MM2_BLOCK, interpret=interp,
         )

@@ -229,6 +229,154 @@ def trace_nearest_mm(coef, orig, d, chunk: int = 512, block: int = 2048,
     return hit, jnp.where(hit, fi, -1), t
 
 
+def _trace_kernel2c(cab_ref, coef_ref, o_ref, d_ref, phi_ref, t_ref, f_ref,
+                    *, nc: int, chunk: int,
+                    precision=jax.lax.Precision.HIGHEST):
+    """mm2 with the cull prepass FUSED IN: one kernel per ray block loops
+    over ALL nc chunks, slab-tests each against the block's rays (the
+    exact `_cull_prepass_kernel` math) and runs the matmul+resolve only
+    under `lax.cond` when any ray enters — identical chunk-skip
+    decisions and winner selection to the prepass+list pipeline, minus
+    the separate prepass dispatch, the (nb, nc) mask materialization,
+    and the XLA cumsum/scatter list build that ran per trace call."""
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]            # (rows, 128)
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    ix = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+    iy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+    iz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+    phi = phi_ref[...]
+    n = phi.shape[1]
+
+    def body(c, carry):
+        t0 = (cab_ref[0, c] - ox) * ix
+        t1 = (cab_ref[3, c] - ox) * ix
+        tmin = jnp.minimum(t0, t1)
+        tmax = jnp.maximum(t0, t1)
+        t0 = (cab_ref[1, c] - oy) * iy
+        t1 = (cab_ref[4, c] - oy) * iy
+        tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+        tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        t0 = (cab_ref[2, c] - oz) * iz
+        t1 = (cab_ref[5, c] - oz) * iz
+        tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+        tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        enter = jnp.any(tmax >= jnp.maximum(tmin, 0.0))
+
+        def visit(carry):
+            best_t, best_f = carry
+            prod = jax.lax.dot_general(
+                coef_ref[c], phi,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )  # (4C, Nblk)
+            up = prod[0:chunk]
+            vp = prod[chunk:2 * chunk]
+            tp = prod[2 * chunk:3 * chunk]
+            det = prod[3 * chunk:4 * chunk]
+            absd = jnp.abs(det)
+            inv = 1.0 / jnp.where(absd < 1e-6, 1.0, det)
+            u = up * inv
+            v = vp * inv
+            t = tp * inv
+            ok = (
+                (absd >= 1e-6)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= 1e-6)
+            )
+            tm = jnp.where(ok, t, 1e30)
+            ct = jnp.min(tm, axis=0, keepdims=True)
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+            cf = jnp.min(
+                jnp.where(tm == ct, rows_i, jnp.int32(0x7FFFFFFF)),
+                axis=0, keepdims=True,
+            ) + c * chunk
+            better = ct < best_t
+            return (
+                jnp.where(better, ct, best_t),
+                jnp.where(better, cf, best_f),
+            )
+
+        return jax.lax.cond(enter, visit, lambda c_: c_, carry)
+
+    init = (
+        jnp.full((1, n), 1e30, jnp.float32),
+        jnp.full((1, n), 0x7FFFFFFF, jnp.int32),
+    )
+    best_t, best_f = jax.lax.fori_loop(0, nc, body, init)
+    miss = best_t >= 1e30
+    t_ref[0] = best_t
+    f_ref[0] = jnp.where(miss, -1, best_f)
+
+
+def trace_nearest_mm2c(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
+                       block: int = 2048, interpret: bool = False):
+    """`trace_nearest_mm2` with the cull fused into the kernel
+    (_trace_kernel2c) — no prepass dispatch, no list build. Identical
+    winner selection."""
+    f4 = coef.shape[0]
+    f = f4 // 4
+    n = orig.shape[0]
+    nb = -(-n // block)
+    n_pad = nb * block
+    if n_pad != n:
+        orig = jnp.pad(orig, ((0, n_pad - n), (0, 0)))
+        d = jnp.pad(d, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    phi = mt_ray_features(orig, d, transposed=True)      # (13, N_pad)
+
+    if f % chunk:
+        pad = chunk - f % chunk
+        cf = coef.reshape(4, f, N_FEATURES)
+        cf = jnp.pad(cf, ((0, 0), (0, pad), (0, 0)))
+        coef = cf.reshape(4 * (f + pad), N_FEATURES)
+        f += pad
+    nc = f // chunk
+    assert chunk_lo.shape[0] == nc, (chunk_lo.shape, nc)
+    coef_c = (
+        coef.reshape(4, nc, chunk, N_FEATURES)
+        .transpose(1, 0, 2, 3)
+        .reshape(nc, 4 * chunk, N_FEATURES)
+    )
+    rows = block // 128
+    cab = jnp.concatenate(
+        [chunk_lo.T, chunk_hi.T], axis=0
+    ).astype(jnp.float32)                                # (6, nc)
+    oc = orig.T.reshape(3, nb * rows, 128)
+    dc = d.T.reshape(3, nb * rows, 128)
+
+    t, fi = pl.pallas_call(
+        functools.partial(_trace_kernel2c, nc=nc, chunk=chunk),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # cab
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # coef table
+            pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FEATURES, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(cab, coef_c, oc, dc, phi)
+    t = t.reshape(-1)[:n]
+    fi = fi.reshape(-1)[:n]
+    hit = t < BIG
+    return hit, jnp.where(hit, fi, -1), t
+
+
 def mt_tri_table(v0, v1, v2, valid):
     """(F, 12) packed [v0 | e1 | e2 | pad] rows for the VPU kernel;
     invalid rows zeroed (det = 0 -> rejected). Also returns n_tri, the
