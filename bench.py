@@ -195,7 +195,12 @@ def bench_raster(width, height, n_frames):
 
 def bench_whitted(width, height, repeats):
     """The reference main.cpp demo (glass + diffuse spheres, textured
-    spot + crate)."""
+    spot + crate). Times the EXACT render production ships (r4-verdict
+    item 3): pass-1 wavefront per-frame chains PLUS, when the frame's
+    child queues overflow, the measured cost of `whitted_render_exact`'s
+    lossless second pass (chained the same way) and its host mask fetch.
+    With the retuned default queue config the shipped scenes don't
+    overflow and the pass-2 term is zero — certified by dropped_rays."""
     import time as _t
 
     import jax
@@ -203,14 +208,28 @@ def bench_whitted(width, height, repeats):
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
     from whitted_demo import build_scene, set_frame_matrices
 
+    from software_rasterizer_tpu.ops.whitted import (
+        whitted_render,
+        whitted_trace,
+    )
     from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
-    from software_rasterizer_tpu.ops.whitted import whitted_render
     from software_rasterizer_tpu.utils.rng import make_key
 
     import functools
 
     import jax.numpy as jnp
     import numpy as np
+
+    # queue knobs (A/B tuning; defaults = the production defaults in
+    # ops/whitted.whitted_render's signature)
+    import inspect
+
+    _sig = inspect.signature(whitted_render)
+    qshrink = float(os.environ.get(
+        "BENCH_QSHRINK", _sig.parameters["queue_shrink"].default))
+    _sc_env = os.environ.get("BENCH_SHADECAP", "")
+    shade_cap = (tuple(float(x) for x in _sc_env.split(",")) if _sc_env
+                 else _sig.parameters["shade_cap"].default)
 
     scene = build_scene()
     set_frame_matrices(scene, 0.0)
@@ -243,6 +262,7 @@ def bench_whitted(width, height, repeats):
             img, stats = whitted_render(
                 rt, width, height, scene.fovy, make_key(0),
                 spp=16, max_depth=scene.max_depth, with_stats=True,
+                queue_shrink=qshrink, shade_cap=shade_cap,
             )
             out = (img[0, 0, 0], stats["rays_main"],
                    stats["rays_shadow"], stats["dropped_rays"])
@@ -280,7 +300,68 @@ def bench_whitted(width, height, repeats):
             walls.append(_t.time() - t0)
         per_frame_s.append(min(walls) / n_frames)
     pf = np.asarray(per_frame_s)
-    med = float(np.median(pf))
+
+    # EXACT-RENDER overhead (the render production ships,
+    # render/raytracer.py -> whitted_render_exact): per frame, did the
+    # pass-1 queues overflow? If yes, measure the lossless second pass
+    # (same chained methodology) at the frame's true dropped-pixel count
+    # plus the host mask fetch that schedules it. Overflow-free frames
+    # pay a 4-byte scalar fetch only (whitted_render_exact fast path).
+    bucket = 2048
+    pass2_s = np.zeros(n_frames)
+    mask_fetch_s = np.zeros(n_frames)
+    dropped_px_counts = np.zeros(n_frames, np.int64)
+    render_one = functools.partial(
+        whitted_render, width=width, height=height, fovy=scene.fovy,
+        spp=16, max_depth=scene.max_depth, with_stats=True,
+        queue_shrink=qshrink, shade_cap=shade_cap,
+    )  # whitted_render is already jitted
+
+    from software_rasterizer_tpu.ops.camera import camera_rays as _cam
+
+    @functools.partial(jax.jit, static_argnames=("cap",))
+    def retrace_chain(rt, pid, cap):
+        o_full, d_full = _cam(rt.eye, scene.fovy, width, height)
+
+        def body(carry, _):
+            out = whitted_trace(
+                rt, o_full[pid] + carry, d_full[pid], make_key(0), 16,
+                scene.max_depth, queue_factor=2 ** scene.max_depth,
+                queue_shrink=1.0, pixel_ids=pid, shade_cap=shade_cap,
+            )
+            return out[0, 0] * 0.0, out[0, 0]
+        _, ch = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(n_frames)
+        )
+        return ch
+
+    prep = jax.jit(lambda fr: prepare_rt_scene(geom, fr))
+    for i, fr in enumerate(bundles):
+        rt_i = prep(fr)
+        _, stats = render_one(rt_i, key=make_key(0))
+        if int(stats["dropped_rays"]) == 0:
+            continue
+        t0 = _t.time()
+        mask = np.asarray(stats["dropped_px"]).reshape(-1)
+        mask_fetch_s[i] = _t.time() - t0
+        pix = np.nonzero(mask)[0]
+        dropped_px_counts[i] = pix.size
+        if pix.size == 0:
+            continue
+        cap = -(-pix.size // bucket) * bucket
+        pad = np.zeros(cap, np.int64)
+        pad[: pix.size] = pix
+        pid = jnp.asarray(pad, jnp.int32)
+        np.asarray(retrace_chain(rt_i, pid, cap))   # compile + warm
+        walls = []
+        for _ in range(2):
+            t0 = _t.time()
+            np.asarray(retrace_chain(rt_i, pid, cap))
+            walls.append(_t.time() - t0)
+        pass2_s[i] = min(walls) / n_frames
+    pf_exact = pf + pass2_s + mask_fetch_s
+    med = float(np.median(pf_exact))
+    med_p1 = float(np.median(pf))
 
     # WORK-FLOOR bar (a defensible baseline where the reference
     # published none): the frame's actual traced-ray count (live main
@@ -340,9 +421,28 @@ def bench_whitted(width, height, repeats):
         lambda o, dd: nearest_emit_hit(rt0, o, dd).t[0]
     ) * 1e9
 
+    # UPPER-bound companion (r4-verdict item 10): the same rates on a
+    # RANDOM PERMUTATION of the frame's rays — spatial locality (and
+    # with it per-block chunk culling) destroyed, the dearest-case
+    # per-ray cost a divergent child population could pay. The true
+    # trace floor lies between floor_lo (coherent) and floor_hi
+    # (incoherent), so pct_of_floor brackets the orchestration share.
+    perm = np.random.RandomState(0).permutation(width * height)
+    orig_p = jax.device_put(np.asarray(orig)[perm])
+    d_p = jax.device_put(np.asarray(d)[perm])
+    orig_save, d_save = orig, d
+    orig, d = orig_p, d_p
+    ns_main_hi = rate_of(_classify_scalar) * 1e9
+    ns_shadow_hi = rate_of(
+        lambda o, dd: nearest_emit_hit(rt0, o, dd).t[0]
+    ) * 1e9
+    orig, d = orig_save, d_save
+
     rays_pf = float(rays_main.mean() + rays_shadow.mean())
-    floor_s = (float(rays_main.mean()) * ns_main
-               + float(rays_shadow.mean()) * ns_shadow) * 1e-9
+    floor_lo = (float(rays_main.mean()) * ns_main
+                + float(rays_shadow.mean()) * ns_shadow) * 1e-9
+    floor_hi = (float(rays_main.mean()) * ns_main_hi
+                + float(rays_shadow.mean()) * ns_shadow_hi) * 1e-9
     mrays = width * height / med / 1e6  # primary rays only (conservative)
     _emit({
         "metric": "whitted_primary_rays_throughput",
@@ -353,26 +453,44 @@ def bench_whitted(width, height, repeats):
         "device": str(jax.devices()[0]),
         "render_s": round(med, 4),
         "median_ms": round(med * 1e3, 3),
-        "p10_ms": round(float(np.percentile(pf, 10)) * 1e3, 3),
-        "p90_ms": round(float(np.percentile(pf, 90)) * 1e3, 3),
-        "methodology": "per-frame repetition chains (8 reps/frame, "
-                       "best of 2) incl. per-frame scene transform; "
-                       "median/percentiles over the rotation sweep",
+        "p10_ms": round(float(np.percentile(pf_exact, 10)) * 1e3, 3),
+        "p90_ms": round(float(np.percentile(pf_exact, 90)) * 1e3, 3),
+        "methodology": "EXACT render (what RayTracing.draw() ships): "
+                       "pass-1 per-frame repetition chains (8 reps/"
+                       "frame, best of 2) incl. per-frame scene "
+                       "transform, PLUS per-frame pass-2 recovery cost "
+                       "(chained retrace at the frame's dropped-pixel "
+                       "width) and its host mask fetch when the frame "
+                       "overflowed; median/percentiles over the "
+                       "rotation sweep",
+        "pass1_median_ms": round(med_p1 * 1e3, 3),
+        "pass2_ms_per_frame": [round(x * 1e3, 3) for x in pass2_s],
+        "mask_fetch_ms_per_frame": [
+            round(x * 1e3, 2) for x in mask_fetch_s
+        ],
+        "dropped_px_per_frame": [int(x) for x in dropped_px_counts],
+        "queue_shrink": qshrink,
+        "shade_cap": list(shade_cap) if shade_cap else None,
         "chain_mean_s": round(chain_mean, 4),
         "rays_per_frame_M": round(rays_pf / 1e6, 3),
         "mrays_all_traced": round(rays_pf / med / 1e6, 2),
-        "trace_floor_s": round(floor_s, 4),
-        "pct_of_trace_floor": round(100.0 * floor_s / med, 1),
+        "trace_floor_lo_s": round(floor_lo, 4),
+        "trace_floor_hi_s": round(floor_hi, 4),
+        "pct_of_trace_floor": round(100.0 * floor_lo / med, 1),
+        "pct_of_trace_floor_hi": round(100.0 * floor_hi / med, 1),
         "floor_detail": {
-            "ns_per_main_ray": round(ns_main, 2),
-            "ns_per_shadow_ray": round(ns_shadow, 2),
+            "ns_per_main_ray": [round(ns_main, 2), round(ns_main_hi, 2)],
+            "ns_per_shadow_ray": [round(ns_shadow, 2),
+                                  round(ns_shadow_hi, 2)],
             "rays_main_pf_M": round(float(rays_main.mean()) / 1e6, 3),
             "rays_shadow_pf_M": round(float(rays_shadow.mean()) / 1e6, 3),
-            "note": "floor = frame's live traced rays x the isolated "
-                    "per-ray cost of the classify step (main) / "
-                    "emit-only hit (shadow) on coherent depth-0 "
-                    "rays (optimistic, so pct is a lower bound on "
-                    "trace-work share)",
+            "note": "floor = frame's live traced rays x isolated "
+                    "per-ray classify (main) / emit-only (shadow) "
+                    "cost; [lo, hi] = coherent tile-order rays vs a "
+                    "random permutation of the same rays (locality "
+                    "destroyed) — the true trace-work share of the "
+                    "frame lies between pct_of_trace_floor and "
+                    "pct_of_trace_floor_hi",
         },
         "dropped_rays": dropped,
         "first_call_s": round(compile_s, 3),
@@ -405,12 +523,17 @@ def bench_path(width, height, spp, repeats):
     t0 = time.time()
     render(0)
     compile_s = time.time() - t0
+    # per-run SPREAD (r4-verdict item 6): the 16-spp capture swung
+    # 95.7 -> 89.1 across driver rounds with no hot-loop change; more
+    # repeats + the full distribution make compile/tunnel luck visible
+    # in the record instead of silently moving the headline.
     times = []
-    for r in range(repeats):
+    for r in range(max(repeats, 6)):
         t0 = time.time()
         render(r + 1)  # fresh seed: no caching of the render itself
         times.append(time.time() - t0)
     best = min(times)
+    med_s = sorted(times)[len(times) // 2]
     mpaths = width * height * spp / best / 1e6
     _emit({
         "metric": "cornell_path_tracing_throughput",
@@ -420,6 +543,9 @@ def bench_path(width, height, spp, repeats):
         "config": f"{width}x{height}@{spp}spp",
         "device": str(jax.devices()[0]),
         "render_s": round(best, 3),
+        "median_s": round(med_s, 3),
+        "median_mpaths": round(width * height * spp / med_s / 1e6, 2),
+        "times_s": [round(t, 3) for t in times],
         "first_call_s": round(compile_s, 3),
     })
 
@@ -776,9 +902,9 @@ def main():
         # whitted/path compiles in the same process fail with a backend
         # INVALID_ARGUMENT on this platform (reproducible; isolation is
         # the robust fix — the compile cache keeps restarts cheap).
-        # Path (the headline) runs LAST so its JSON line is the tail.
         import subprocess
 
+        rows = []
         env = dict(os.environ)
         for sub in ("raster", "whitted", "path"):
             env["BENCH_MODE"] = sub
@@ -788,9 +914,39 @@ def main():
             )
             sys.stdout.write(r.stdout)
             sys.stdout.flush()
+            for line in r.stdout.splitlines():
+                try:
+                    rows.append(json.loads(line))
+                except (json.JSONDecodeError, ValueError):
+                    pass
             if r.returncode != 0:
                 print(f"# {sub} bench failed (rc={r.returncode})",
                       file=sys.stderr)
+        # ONE compact aggregate as the VERY LAST stdout line: the
+        # driver's capture keeps only a short tail, which in r4 cut the
+        # raster percentiles out of the record (verdict item 7). Every
+        # row's key fields, nothing else.
+        keep = ("metric", "value", "unit", "vs_baseline", "config",
+                "median_ms", "p10_ms", "p90_ms", "throughput_fps",
+                "pass1_median_ms", "dropped_rays", "pct_of_trace_floor",
+                "pct_of_trace_floor_hi", "median_mpaths", "render_s",
+                "queue_shrink")
+        agg = [{k: row[k] for k in keep if k in row} for row in rows]
+        # top-level value/unit = the path headline (the metric the
+        # driver parses), so the aggregate line is ALSO a valid
+        # headline row on its own
+        head = next(
+            (r for r in reversed(rows)
+             if r.get("metric") == "cornell_path_tracing_throughput"),
+            None,
+        )
+        _emit({
+            "metric": "aggregate",
+            "value": head.get("value") if head else None,
+            "unit": "Mpaths/s",
+            "vs_baseline": head.get("vs_baseline") if head else None,
+            "rows": agg,
+        })
         return
 
     def attempt(fn, *args, required=False):

@@ -269,6 +269,74 @@ def _align_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _uber_applicable(scene: RTScene, width: int, height: int,
+                     max_depth: int) -> bool:
+    """Hard applicability gates of the über-kernel (ops/pallas_whitted):
+    ONE emitter (the spp emitter picks then collapse deterministically —
+    whitted_phong_direct's static fast path), mm2-tier triangle count
+    (VMEM-resident tables), few spheres, (16, 128)-tileable frame."""
+    return (
+        scene.emitter_cr.shape[0] == 1
+        and scene.v0.shape[0] <= 16384
+        and scene.sph_c.shape[0] <= 32
+        and width % 128 == 0 and height % 16 == 0
+        and 1 <= max_depth <= 8
+    )
+
+
+def _uber_auto(scene: RTScene, width: int, height: int,
+               max_depth: int) -> bool:
+    """Auto dispatch: applicable AND on the TPU backend. SRT_UBER=0
+    forces the wavefront; =1 forces the kernel where applicable
+    (interpret mode off-TPU, for tests)."""
+    import os
+
+    flag = os.environ.get("SRT_UBER", "auto")
+    if flag == "0":
+        return False
+    app = _uber_applicable(scene, width, height, max_depth)
+    if flag == "1":
+        return app
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and app
+
+
+def _apply_tex_slots(scene: RTScene, rgb, slots):
+    """Multiply deferred texture slots in: rgb += w_s * texel(tex_s,
+    uv_s) per active slot. Slot 0 runs full width (most textured lanes
+    use only it); higher slots are lax.cond-gated on having any active
+    lane (reflection/refraction chains — often empty)."""
+    packed = (
+        scene.tex_packed
+        if scene.tex_packed.shape == scene.textures.shape[:3]
+        else None
+    )
+    k_slots = slots.shape[1]
+
+    def term(s):
+        texf = slots[:, s, 0]
+        active = texf >= 0.0
+        tex = jnp.maximum(jnp.round(texf).astype(jnp.int32), 0)
+        texel = fetch_nearest(
+            scene.textures, scene.tex_wh, tex, slots[:, s, 1:3],
+            packed=packed,
+        )
+        return jnp.where(active[:, None], slots[:, s, 3:6] * texel, 0.0)
+
+    rgb = rgb + term(0)
+    for s in range(1, k_slots):
+        act = slots[:, s, 0] >= 0.0
+        rgb = rgb + jax.lax.cond(
+            jnp.any(act),
+            lambda s=s: term(s),
+            lambda: jnp.zeros_like(rgb),
+        )
+    return rgb
+
+
 # lanes per deferred-shading block == the trace kernels' ray-block size
 # (ops/pallas_trace block=2048), so block-compacted lane populations are
 # exactly the original trace blocks
@@ -460,6 +528,17 @@ def whitted_trace(
     exceeding its cap shades full-width via the exact lax.cond
     fallback."""
     n = orig.shape[0]
+    if with_stats and pixel_ids is None:
+        # dropped_px recovery inverts the rid chain (rid_0 =
+        # (rid_d - (2^d - 1)) >> d), which is only exact while rids never
+        # wrap int32. rid chains elsewhere are wrap-tolerant (RNG hashing
+        # only), but the EXACT patch pass must not silently degrade
+        # (ADVICE r4) — reject the rare config that could wrap (e.g.
+        # max_depth >= 11 at 1 Mpx). Callers passing pixel_ids assert
+        # against their true pixel count (whitted_render below).
+        assert n << (max_depth + 1) < 2 ** 31, (
+            f"with_stats rid recovery would wrap int32: n={n}, "
+            f"max_depth={max_depth}")
     img = jnp.zeros((n, 3))
     dropped = jnp.zeros((), jnp.int32)
     dropped_px = jnp.zeros((n,), bool)
@@ -607,11 +686,16 @@ def whitted_trace(
         # then join their surface attributes at the compacted width —
         # the 40-col join + exact recompute + normal interpolation all
         # run at half-queue width instead of full
+        # tri/sph winner indices ride the f32 pack BITCAST, not value-cast:
+        # a float32 round-trip is exact only to 2^24, so the unbounded XLA
+        # tier at >16.7M triangles would silently corrupt compacted
+        # specular winner indices (ADVICE r4). Bit patterns survive the
+        # permutation gather unchanged.
         pf = jnp.concatenate([
             t_orig, rays["dir"], weight,
             lh.st[:, None],
-            lh.tri.astype(jnp.float32)[:, None],
-            lh.sph.astype(jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(lh.tri, jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(lh.sph, jnp.float32)[:, None],
             lh.use_s.astype(jnp.float32)[:, None],
             lh.mat_type.astype(jnp.float32)[:, None],
         ], axis=1)[perm]                                  # (half, 14)
@@ -620,8 +704,8 @@ def whitted_trace(
         lh_c = LiteHit(
             hit=jnp.ones((half,), bool),  # every compacted parent hit
             use_s=pf[:, 12] > 0.5,
-            tri=jnp.round(pf[:, 10]).astype(jnp.int32),
-            sph=jnp.round(pf[:, 11]).astype(jnp.int32),
+            tri=jax.lax.bitcast_convert_type(pf[:, 10], jnp.int32),
+            sph=jax.lax.bitcast_convert_type(pf[:, 11], jnp.int32),
             t_tri=pf[:, 9],  # unused by surface_attrs (exact recompute)
             st=pf[:, 9],
             mat_type=jnp.round(pf[:, 13]).astype(jnp.int32),
@@ -712,7 +796,7 @@ def whitted_trace(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "block", "chunk",
                      "queue_factor", "queue_shrink", "with_stats",
-                     "shade_cap", "shadow_bias", "_debug_skip"),
+                     "shade_cap", "shadow_bias", "_debug_skip", "uber"),
 )
 def whitted_render(
     scene: RTScene,
@@ -730,6 +814,7 @@ def whitted_render(
     shade_cap=(0.375, 0.125, 0.125),
     shadow_bias: float = SHADOW_BIAS,
     _debug_skip=(),
+    uber: bool = None,
 ):
     """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp);
     with_stats=True returns (image, stats) — see whitted_trace.
@@ -742,6 +827,11 @@ def whitted_render(
     values are bit-identical — RNG identities and deposits are keyed by
     absolute pixel id."""
     orig, d = camera_rays(scene.eye, fovy, width, height)
+    if with_stats:
+        # see whitted_trace: pixel_ids here are bounded by width*height
+        assert (width * height) << (max_depth + 1) < 2 ** 31, (
+            f"with_stats rid recovery would wrap int32 at "
+            f"{width}x{height}, max_depth={max_depth}")
     th, tw = 16, 128
     tiled = height % th == 0 and width % tw == 0 and height * width > th * tw
 
@@ -768,6 +858,45 @@ def whitted_render(
         orig, d = to_tiles(orig), to_tiles(d)
     else:
         pid = None
+
+    if uber is None:
+        use_uber = _uber_auto(scene, width, height, max_depth)
+    else:
+        use_uber = uber and _uber_applicable(
+            scene, width, height, max_depth)
+    if use_uber and not _debug_skip:
+        # persistent per-block DFS kernel (ops/pallas_whitted): no
+        # queues, no capacity schedule, NO dropped child rays — the only
+        # overflow channel is the K_SLOTS texture-slot budget, counted
+        # per pixel in dropped_px and recovered exactly by
+        # whitted_render_exact's wavefront patch pass. queue_factor /
+        # queue_shrink / shade_cap are queue-capacity knobs and have no
+        # meaning here.
+        from software_rasterizer_tpu.ops.pallas_whitted import (
+            whitted_uber_trace,
+        )
+
+        rgb, slots, ovf, rm, rs = whitted_uber_trace(
+            scene, orig, d, max_depth=max_depth,
+            shadow_bias=shadow_bias,
+            interpret=jax.default_backend() != "tpu",
+        )
+        img = _apply_tex_slots(scene, rgb, slots)
+        if tiled:
+            img = from_tiles(img)
+            dp = from_tiles(
+                ovf[:, None].astype(jnp.float32))[..., 0] > 0.0
+        else:
+            img = img.reshape(height, width, 3)
+            dp = ovf.reshape(height, width)
+        if with_stats:
+            return img, {
+                "dropped_rays": jnp.sum(ovf.astype(jnp.int32)),
+                "rays_main": rm, "rays_shadow": rs,
+                "dropped_px": dp,
+            }
+        return img
+
     out = whitted_trace(
         scene, orig, d, key, spp, max_depth, block, chunk, queue_factor,
         queue_shrink, with_stats=with_stats, pixel_ids=pid,
@@ -805,6 +934,24 @@ def _retrace_pixels(scene, width, height, fovy, key, pid, spp, max_depth,
     )
 
 
+@jax.jit
+def _patch_pixels(img, pid, vals, n_valid):
+    """Scatter pass-2 values into the flat (N,3) frame ON DEVICE (a host
+    round-trip of the full image costs ~0.5 s over the axon tunnel; the
+    patch itself is a tiny sorted scatter). Pad slots (>= n_valid)
+    redirect out of range."""
+    n = img.shape[0]
+    tgt = jnp.where(
+        jnp.arange(pid.shape[0], dtype=jnp.int32) < n_valid, pid, n
+    )
+    cols = [
+        img[:, c].at[tgt].set(vals[:, c], mode="drop",
+                              unique_indices=True)
+        for c in range(3)
+    ]
+    return jnp.stack(cols, axis=1)
+
+
 def whitted_render_exact(
     scene: RTScene,
     width: int,
@@ -837,10 +984,12 @@ def whitted_render_exact(
     2^depth queues for the whole frame (the reference recurses the full
     tree per pixel, Scene.cpp:576-614).
 
-    Host-orchestrated (two jitted passes + one mask readback), so NOT
-    jittable itself; the pass-2 width is padded to `bucket` lanes to
-    bound recompiles. Returns an (H,W,3) np.ndarray (device array when
-    no overflow occurred); with return_stats, (image, pass-1 stats)."""
+    Host-orchestrated (two jitted passes + one 1-bit/px mask readback),
+    so NOT jittable itself; the pass-2 width is padded to `bucket` lanes
+    to bound recompiles. The patch scatter runs ON DEVICE (`_patch_pixels`
+    — a full-image host round-trip costs ~0.5 s over the axon tunnel).
+    Returns an (H,W,3) device array; with return_stats, (image, pass-1
+    stats)."""
     import numpy as np
 
     img, stats = whitted_render(
@@ -848,18 +997,24 @@ def whitted_render_exact(
         queue_factor, queue_shrink, with_stats=True, shade_cap=shade_cap,
         shadow_bias=shadow_bias,
     )
+    # scalar readback first: the overflow-free common case (default
+    # queue config on the shipped scenes) pays a 4-byte fetch, not the
+    # 1-bit/px mask fetch
+    if int(stats["dropped_rays"]) == 0:
+        return (img, stats) if return_stats else img
     mask = np.asarray(stats["dropped_px"]).reshape(-1)
     pix = np.nonzero(mask)[0]
     if pix.size == 0:
         return (img, stats) if return_stats else img
     cap = -(-pix.size // bucket) * bucket
     pad = np.zeros(cap, np.int64)
-    pad[: pix.size] = pix  # pad lanes re-trace pixel 0; discarded below
+    pad[: pix.size] = pix  # pad lanes re-trace pixel 0; masked in patch
     out2 = _retrace_pixels(
         scene, width, height, fovy, key, jnp.asarray(pad, jnp.int32),
         spp, max_depth, block, chunk, shade_cap, shadow_bias,
     )
-    imgf = np.asarray(img).reshape(-1, 3).copy()
-    imgf[pix] = np.asarray(out2)[: pix.size]
-    out = imgf.reshape(height, width, 3)
+    out = _patch_pixels(
+        img.reshape(-1, 3), jnp.asarray(pad, jnp.int32), out2,
+        jnp.asarray(pix.size, jnp.int32),
+    ).reshape(height, width, 3)
     return (out, stats) if return_stats else out

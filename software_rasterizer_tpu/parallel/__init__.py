@@ -8,6 +8,7 @@ from software_rasterizer_tpu.parallel.render import (
     sharded_path_render,
     sharded_raster_render,
     sharded_whitted_render,
+    sharded_whitted_render_exact,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "sharded_path_render",
     "sharded_raster_render",
     "sharded_whitted_render",
+    "sharded_whitted_render_exact",
 ]

@@ -141,7 +141,8 @@ def sharded_path_render(
     jax.jit,
     static_argnames=(
         "rmesh", "width", "height", "spp", "max_depth", "block", "chunk",
-        "queue_factor",
+        "queue_factor", "queue_shrink", "with_stats", "shade_cap",
+        "shadow_bias",
     ),
 )
 def sharded_whitted_render(
@@ -156,15 +157,31 @@ def sharded_whitted_render(
     block: int = 8192,
     chunk: int = 512,
     queue_factor: int = 2,
+    queue_shrink: float = 0.5,
+    with_stats: bool = False,
+    shade_cap=(0.375, 0.125, 0.125),
+    shadow_bias: float = None,
 ):
     """Whitted render with framebuffer lanes sharded across ALL devices
     (both mesh axes flattened — the integrator is deterministic per lane,
-    so there is no sample axis to split). Returns (H,W,3).
+    so there is no sample axis to split). Returns (H,W,3); with
+    `with_stats`, (image, stats) where the scalar counters are psummed
+    over the mesh and `dropped_px` is the full-frame (H,W) overflow mask
+    (each shard's lanes are a contiguous pixel range, so the gathered
+    lane-space masks concatenate directly into image order).
 
     Per-ray RNG identities are keyed by ABSOLUTE lane index (lane_offset),
     so every emitter pick matches the monolithic render bit-for-bit even
     with multiple emissive objects (r1 advisor finding: a shared local
-    key correlated picks across shards)."""
+    key correlated picks across shards). The full queue/overflow knob set
+    (queue_shrink / shade_cap / shadow_bias) is plumbed through so the
+    sharded path has the same capacity semantics as the monolith
+    (r4-verdict item 4); `sharded_whitted_render_exact` adds the lossless
+    recovery pass."""
+    from software_rasterizer_tpu.ops.whitted import SHADOW_BIAS
+
+    if shadow_bias is None:
+        shadow_bias = SHADOW_BIAS
     mesh = rmesh.mesh
     n = width * height
     n_dev = rmesh.n_devices
@@ -175,23 +192,136 @@ def sharded_whitted_render(
 
     orig, d = camera_rays(scene.eye, fovy, width, height)
     lane_spec = P(("spp", "tile"))
+    out_specs = (
+        (lane_spec, {"dropped_rays": P(), "rays_main": P(),
+                     "rays_shadow": P(), "dropped_px": lane_spec})
+        if with_stats else lane_spec
+    )
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(_replicated_specs(scene), lane_spec, lane_spec),
-        out_specs=lane_spec,
+        out_specs=out_specs,
         check_vma=False,
     )
     def run(sc, o_loc, d_loc):
         dev = jax.lax.axis_index("spp") * n_tile + jax.lax.axis_index("tile")
+        out = whitted_trace(
+            sc, o_loc, d_loc, key, spp, max_depth, block, chunk,
+            queue_factor, queue_shrink, lane_offset=dev * lanes_per,
+            with_stats=with_stats, shade_cap=shade_cap,
+            shadow_bias=shadow_bias,
+        )
+        if not with_stats:
+            return out
+        img, stats = out
+        stats = dict(stats)
+        for k in ("dropped_rays", "rays_main", "rays_shadow"):
+            stats[k] = jax.lax.psum(stats[k], ("spp", "tile"))
+        return img, stats
+
+    out = run(scene, orig, d)
+    if not with_stats:
+        return out.reshape(height, width, 3)
+    img, stats = out
+    stats = dict(stats)
+    stats["dropped_px"] = stats["dropped_px"].reshape(height, width)
+    return img.reshape(height, width, 3), stats
+
+
+def sharded_whitted_render_exact(
+    scene: RTScene,
+    rmesh: RenderMesh,
+    width: int,
+    height: int,
+    fovy: float,
+    key,
+    spp: int = 1,
+    max_depth: int = 5,
+    block: int = 8192,
+    chunk: int = 512,
+    queue_factor: int = 2,
+    queue_shrink: float = 0.5,
+    shade_cap=(0.375, 0.125, 0.125),
+    shadow_bias: float = None,
+    bucket: int = 2048,
+    return_stats: bool = False,
+):
+    """Overflow-EXACT sharded Whitted render — the distributed analog of
+    `ops.whitted.whitted_render_exact` (r4-verdict item 4): pass 1 is the
+    capacity-bounded sharded wavefront; when its queues overflowed, the
+    dropped root pixels re-trace at LOSSLESS capacity, sharded over all
+    devices (`dropped_px` is pixel-indexed, so the patch pass shards
+    trivially), and patch into the frame on device. Per-pixel values
+    equal the monolithic `whitted_render_exact`'s up to f32
+    reassociation (every per-pixel quantity keys off the absolute pixel
+    id, never the lane set — tests/test_parallel.py asserts this on an
+    overflowing config)."""
+    import numpy as np
+
+    from software_rasterizer_tpu.ops.whitted import SHADOW_BIAS, _patch_pixels
+
+    if shadow_bias is None:
+        shadow_bias = SHADOW_BIAS
+    img, stats = sharded_whitted_render(
+        scene, rmesh, width, height, fovy, key, spp, max_depth, block,
+        chunk, queue_factor, queue_shrink, with_stats=True,
+        shade_cap=shade_cap, shadow_bias=shadow_bias,
+    )
+    if int(stats["dropped_rays"]) == 0:
+        return (img, stats) if return_stats else img
+    mask = np.asarray(stats["dropped_px"]).reshape(-1)
+    pix = np.nonzero(mask)[0]
+    if pix.size == 0:
+        return (img, stats) if return_stats else img
+    n_dev = rmesh.n_devices
+    cap = -(-pix.size // (bucket * n_dev)) * (bucket * n_dev)
+    pad = np.zeros(cap, np.int64)
+    pad[: pix.size] = pix  # pad lanes re-trace pixel 0; masked in patch
+    pid = jnp.asarray(pad, jnp.int32)
+    out2 = _sharded_retrace(
+        scene, rmesh, width, height, fovy, key, pid, spp, max_depth,
+        block, chunk, shade_cap, shadow_bias,
+    )
+    out = _patch_pixels(
+        img.reshape(-1, 3), pid, out2.reshape(-1, 3),
+        jnp.asarray(pix.size, jnp.int32),
+    ).reshape(height, width, 3)
+    return (out, stats) if return_stats else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rmesh", "width", "height", "spp", "max_depth",
+                     "block", "chunk", "shade_cap", "shadow_bias"),
+)
+def _sharded_retrace(scene, rmesh, width, height, fovy, key, pid, spp,
+                     max_depth, block, chunk, shade_cap, shadow_bias):
+    """Pass 2 of `sharded_whitted_render_exact`: each device re-traces a
+    contiguous slice of the padded dropped-pixel list at lossless queue
+    capacity. pixel_ids carry the ABSOLUTE image index, so per-pixel
+    values match the monolithic `_retrace_pixels` regardless of which
+    device a pixel lands on."""
+    orig, d = camera_rays(scene.eye, fovy, width, height)
+    lane_spec = P(("spp", "tile"))
+
+    @functools.partial(
+        shard_map,
+        mesh=rmesh.mesh,
+        in_specs=(_replicated_specs(scene), P(), P(), lane_spec),
+        out_specs=lane_spec,
+        check_vma=False,
+    )
+    def run(sc, o_full, d_full, pid_loc):
         return whitted_trace(
-            sc, o_loc, d_loc, key, spp, max_depth, block, chunk, queue_factor,
-            lane_offset=dev * lanes_per,
+            sc, o_full[pid_loc], d_full[pid_loc], key, spp, max_depth,
+            block, chunk, queue_factor=2 ** max_depth, queue_shrink=1.0,
+            pixel_ids=pid_loc, shade_cap=shade_cap,
+            shadow_bias=shadow_bias,
         )
 
-    img = run(scene, orig, d)
-    return img.reshape(height, width, 3)
+    return run(scene, orig, d, pid)
 
 
 @functools.partial(
