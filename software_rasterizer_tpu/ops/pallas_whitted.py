@@ -146,7 +146,7 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
                  rgb_ref, slot_ref, ovf_ref, nray_ref,
                  ts_ref, fs_ref, aj_ref, sh_ref, phi_s, win_s, aj2_ref,
                  *, nc: int, chunk: int, rows: int, max_depth: int,
-                 k_slots: int, n_sph_pad: int,
+                 k_slots: int, n_sph_pad: int, _ablate: int = 0,
                  precision=jax.lax.Precision.HIGHEST):
     """One 2048-ray screen tile's full Whitted render.
 
@@ -419,6 +419,12 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
             hit = live & (jnp.minimum(st, tt) < BIG)
             tri_win = live & (tt < BIG) & ~use_s
 
+            if _ablate == 1:   # timing probe: main sweep only
+                rgb_ref[0] = rgb_ref[0] + jnp.where(
+                    hit, jnp.minimum(st, tt), 0.0)
+                live_ref[...] = izero
+                return jnp.int32(0)
+
             # ---- tri attribute join at winner chunks ----
             set_join_win(jnp.where(tri_win, fs_ref[...], SENT))
             tri_join(0, ATTR_COLS)
@@ -489,6 +495,12 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
                 + v * aj_ref[_A_UV2]
             uvy = w_b * aj_ref[_A_UV0 + 1] + u * aj_ref[_A_UV1 + 1] \
                 + v * aj_ref[_A_UV2 + 1]
+
+            if _ablate == 2:   # timing probe: + join + attrs/recompute
+                rgb_ref[0] = rgb_ref[0] + jnp.where(
+                    hit, t + nx + kdx + kax + uvx + mtype, 0.0)
+                live_ref[...] = izero
+                return jnp.int32(0)
 
             # ---- classify ----
             miss = live & ~hit
@@ -700,7 +712,7 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
     pl.run_scoped(
         main,
         pltpu.VMEM((9, rows, 128), jnp.float32),
-        pltpu.VMEM((max_depth, 10, rows, 128), jnp.float32),
+        pltpu.VMEM((max(max_depth, 1), 10, rows, 128), jnp.float32),
         pltpu.VMEM((rows, 128), jnp.int32),
         pltpu.VMEM((rows, 128), jnp.int32),
         pltpu.VMEM((rows, 128), jnp.int32),
@@ -710,11 +722,13 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "k_slots", "block", "interpret"),
+    static_argnames=("max_depth", "k_slots", "block", "interpret",
+                     "_ablate"),
 )
 def whitted_uber_trace(scene, orig, d, max_depth: int = 5,
                        k_slots: int = 4, block: int = 2048,
-                       shadow_bias=1e-4, interpret: bool = False):
+                       shadow_bias=1e-4, interpret: bool = False,
+                       _ablate: int = 0):
     """Run the über-kernel over (N,3) rays (tile-order lanes). Returns
     (rgb (N,3) pre-texture, slots (N, k_slots, 6), ovf (N,) bool,
     rays_main (), rays_shadow ()). The caller applies texture slots and
@@ -744,7 +758,7 @@ def whitted_uber_trace(scene, orig, d, max_depth: int = 5,
         functools.partial(
             _uber_kernel, nc=nc, chunk=chunk, rows=rows,
             max_depth=max_depth, k_slots=k_slots,
-            n_sph_pad=sph.shape[0],
+            n_sph_pad=sph.shape[0], _ablate=_ablate,
         ),
         grid=(nb,),
         in_specs=[
