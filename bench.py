@@ -604,7 +604,10 @@ def bench_textured(width, height, spp, repeats):
 
     from software_rasterizer_tpu.models import Material, MaterialType
     from software_rasterizer_tpu.ops.intersect import prepare_rt_scene
-    from software_rasterizer_tpu.ops.path import _fused_auto, path_render
+    from software_rasterizer_tpu.ops.path import (
+        _fused_camera_auto,
+        path_render,
+    )
     from software_rasterizer_tpu.ops.shading import ShaderType
     from software_rasterizer_tpu.scenes import build_cornell_scene
     from software_rasterizer_tpu.utils.rng import make_key
@@ -641,7 +644,7 @@ def bench_textured(width, height, spp, repeats):
             "unit": "Mpaths/s",
             "vs_baseline": round(mpaths * 1e6 / BASELINE_MPATHS, 3),
             "config": f"{width}x{height}@{spp}spp",
-            "fused_kernel": bool(_fused_auto(rt)),
+            "fused_kernel": bool(_fused_camera_auto(rt)),
             "n_tris": int(np.asarray(rt.tri_valid).sum()),
             "render_s": round(best, 3),
             "mean_clipped": round(mean, 4),
@@ -669,8 +672,11 @@ def bench_textured(width, height, spp, repeats):
                   ShaderType.TEXTURE)
     s2.bind_shader_to_mesh("spot", "spot_tex")
     run("spot_cow", s2,
-        "5856-tri textured cow in the box: above the fused kernel's "
-        "512-tri SMEM gate -> XLA wavefront over the mm2 trace tier")
+        "5856-tri textured cow in the box via the fused kernel's r5 MXU "
+        "dual-sweep tier (chunk-culled in-kernel trace). The rate is "
+        "pinned by divergent-ray physics: bounce rays defeat per-block "
+        "chunk culling, so every bounce pays the full 5.9K-triangle "
+        "MXU sweep (~no-cull epilogue floor) — see PERFORMANCE.md r5")
 
 
 def bench_stress(width, height, repeats):

@@ -292,6 +292,320 @@ def _dual_trace(scal_ref, tri_ref, attr_ref, sph_ref, ox, oy, oz,
     )
 
 
+MM_SENT = 0x7FFFFF0   # winner sentinel for the MXU dual trace
+
+
+def pack_mm_tables(scene, chunk: int = 256):
+    """Coefficient/attribute tables for the in-kernel MXU dual trace
+    (the >512-triangle tier of the fused path kernel): coef_c (nc,
+    4*chunk, 13) bilinear Moller-Trumbore blocks (ops/pallas_trace),
+    attr24_c (nc, 24, chunk) = [v0|v1|v2|n0|n1|n2|kd|emit] feature-major
+    per chunk, cab (6, nc) chunk AABBs."""
+    from software_rasterizer_tpu.ops.pallas_trace import (
+        N_FEATURES, chunk_bounds,
+    )
+
+    coef = scene.mt_coef
+    f = coef.shape[0] // 4
+    if f % chunk:
+        pad = chunk - f % chunk
+        cf = coef.reshape(4, f, N_FEATURES)
+        cf = jnp.pad(cf, ((0, 0), (0, pad), (0, 0)))
+        coef = cf.reshape(4 * (f + pad), N_FEATURES)
+    fp = coef.shape[0] // 4
+    nc = fp // chunk
+    coef_c = (
+        coef.reshape(4, nc, chunk, N_FEATURES)
+        .transpose(1, 0, 2, 3)
+        .reshape(nc, 4 * chunk, N_FEATURES)
+    )
+    lo, hi = chunk_bounds(scene.v0, scene.v1, scene.v2, scene.tri_valid,
+                          chunk)
+    cab = jnp.concatenate([lo.T, hi.T], axis=0).astype(jnp.float32)
+    f0 = scene.v0.shape[0]
+    valid = scene.tri_valid[:, None]
+    rows24 = jnp.concatenate([
+        scene.v0, scene.v1, scene.v2,
+        scene.n0, scene.n1, scene.n2,
+        jnp.where(valid, scene.mat_kd[scene.tri_mat], 0.0),
+        jnp.where(valid, scene.mat_emit[scene.tri_mat], 0.0),
+    ], axis=1).astype(jnp.float32)
+    if fp != f0:
+        rows24 = jnp.pad(rows24, ((0, fp - f0), (0, 0)))
+    attr24_c = rows24.reshape(nc, chunk, 24).transpose(0, 2, 1)
+    return coef_c, attr24_c, cab, nc
+
+
+def _make_dual_trace_mm(cab_ref, coef_ref, attr_ref, phi_s, win_s, aj_s,
+                        nc: int, chunk: int, rows: int,
+                        precision=jax.lax.Precision.HIGHEST):
+    """Dual-ray nearest hit via the chunk-culled MXU sweep — the
+    >512-triangle tier of the persistent path kernel. Ray sets A (NEE
+    shadow) and B (next bounce) share origins and are traced in ONE
+    chunk loop as the two column halves of a (13, 2*N) feature matrix
+    (one cull test — the union of both sets' slab hits — and one
+    (4C, 13) @ (13, 2N) matmul per visited chunk).
+
+    Same applicability trade as the whitted über-kernel (which proved
+    this structure): culling fires per 2N-column block, so COHERENT ray
+    populations (primary/restart rays, NEE rays toward the light) skip
+    most chunks while divergent bounce rays pay the full sweep — the
+    physics of SIMD chunk culling; see PERFORMANCE.md r5.
+
+    Winner attributes join via per-chunk one-hot matmuls over the 24-row
+    table; (u, v, t) recompute exactly per lane (oracle _mt_uv formula),
+    so integrator-visible values match the XLA wavefront's nearest_hit.
+    Triangle results only — the caller merges the sphere loop on top.
+    Returns (tA, uA..., dict planes) in (rows, 128) layout."""
+
+    def dual(ox, oy, oz, lax_, lay, laz, bx_, by_, bz_):
+        n = rows * 128
+        for r in range(rows):
+            oxr, oyr, ozr = ox[r:r + 1], oy[r:r + 1], oz[r:r + 1]
+            for h, (ddx, ddy, ddz) in enumerate(
+                    ((lax_, lay, laz), (bx_, by_, bz_))):
+                dxr = ddx[r:r + 1]
+                dyr = ddy[r:r + 1]
+                dzr = ddz[r:r + 1]
+                c0 = h * n + 128 * r
+                phi_s[:, c0:c0 + 128] = jnp.concatenate([
+                    oxr * dyr, oxr * dzr, oyr * dxr, oyr * dzr,
+                    ozr * dxr, ozr * dyr,
+                    dxr, dyr, dzr, oxr, oyr, ozr,
+                    jnp.ones((1, 128), jnp.float32),
+                ], axis=0)
+        phi = phi_s[...]
+
+        ix_a = 1.0 / jnp.where(lax_ == 0.0, 1e-30, lax_)
+        iy_a = 1.0 / jnp.where(lay == 0.0, 1e-30, lay)
+        iz_a = 1.0 / jnp.where(laz == 0.0, 1e-30, laz)
+        ix_b = 1.0 / jnp.where(bx_ == 0.0, 1e-30, bx_)
+        iy_b = 1.0 / jnp.where(by_ == 0.0, 1e-30, by_)
+        iz_b = 1.0 / jnp.where(bz_ == 0.0, 1e-30, bz_)
+
+        def slab(c, ix, iy, iz):
+            t0 = (cab_ref[0, c] - ox) * ix
+            t1 = (cab_ref[3, c] - ox) * ix
+            tmin = jnp.minimum(t0, t1)
+            tmax = jnp.maximum(t0, t1)
+            t0 = (cab_ref[1, c] - oy) * iy
+            t1 = (cab_ref[4, c] - oy) * iy
+            tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+            tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+            t0 = (cab_ref[2, c] - oz) * iz
+            t1 = (cab_ref[5, c] - oz) * iz
+            tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+            tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+            return jnp.any(tmax >= jnp.maximum(tmin, 0.0))
+
+        def chunk_body(c, carry):
+            enter = slab(c, ix_a, iy_a, iz_a) | slab(c, ix_b, iy_b, iz_b)
+
+            def visit(carry):
+                best_t, best_f = carry
+                prod = jax.lax.dot_general(
+                    coef_ref[c], phi,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=jnp.float32,
+                )
+                up = prod[0:chunk]
+                vp = prod[chunk:2 * chunk]
+                tp = prod[2 * chunk:3 * chunk]
+                det = prod[3 * chunk:4 * chunk]
+                absd = jnp.abs(det)
+                inv = 1.0 / jnp.where(absd < 1e-6, 1.0, det)
+                u = up * inv
+                v = vp * inv
+                t = tp * inv
+                ok = (
+                    (absd >= 1e-6)
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= 1e-6)
+                )
+                tm = jnp.where(ok, t, 1e30)
+                ct = jnp.min(tm, axis=0, keepdims=True)
+                ri = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+                cf = jnp.min(
+                    jnp.where(tm == ct, ri, jnp.int32(MM_SENT)),
+                    axis=0, keepdims=True,
+                ) + c * chunk
+                better = ct < best_t
+                return (
+                    jnp.where(better, ct, best_t),
+                    jnp.where(better, cf, best_f),
+                )
+
+            return jax.lax.cond(enter, visit, lambda c_: c_, carry)
+
+        init = (
+            jnp.full((1, 2 * n), 1e30, jnp.float32),
+            jnp.full((1, 2 * n), MM_SENT, jnp.int32),
+        )
+        bt, bf = jax.lax.fori_loop(0, nc, chunk_body, init)
+        win_s[...] = jnp.where(bt < 1e30, bf, MM_SENT)
+
+        # one-hot join over the 24-row table (both halves at once)
+        win = win_s[...]
+        aj_s[...] = jnp.zeros((24, 2 * n), jnp.float32)
+
+        def join_body(c, _):
+            inchunk = (win >= c * chunk) & (win < (c + 1) * chunk)
+
+            @pl.when(jnp.any(inchunk))
+            def _():
+                loc = jnp.where(inchunk, win - c * chunk, -1)
+                ri = jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, 2 * n), 0)
+                oh = (ri == loc).astype(jnp.float32)
+                part = jax.lax.dot_general(
+                    attr_ref[c], oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=jnp.float32,
+                )
+                aj_s[...] = aj_s[...] + part
+            return 0
+
+        jax.lax.fori_loop(0, nc, join_body, 0)
+
+        # split halves back into (rows, 128) planes
+        def half(h, k):
+            outs = []
+            for r in range(rows):
+                c0 = h * n + 128 * r
+                outs.append(aj_s[k:k + 1, c0:c0 + 128])
+            return jnp.concatenate(outs, axis=0)         # (rows,128)
+
+        def hit_of(h, dxp, dyp, dzp):
+            tb = jnp.concatenate(
+                [win_s[0:1, h * n + 128 * r:h * n + 128 * (r + 1)]
+                 for r in range(rows)], axis=0)
+            hitm = tb < MM_SENT
+            v0x, v0y, v0z = half(h, 0), half(h, 1), half(h, 2)
+            e1x = half(h, 3) - v0x
+            e1y = half(h, 4) - v0y
+            e1z = half(h, 5) - v0z
+            e2x = half(h, 6) - v0x
+            e2y = half(h, 7) - v0y
+            e2z = half(h, 8) - v0z
+            # exact per-lane (u, v, t): the _mt_uv oracle formula
+            px = dyp * e2z - dzp * e2y
+            py = dzp * e2x - dxp * e2z
+            pz = dxp * e2y - dyp * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            v = (dxp * qx + dyp * qy + dzp * qz) * inv
+            w = 1.0 - u - v
+            nx = w * half(h, 9) + u * half(h, 12) + v * half(h, 15)
+            ny = w * half(h, 10) + u * half(h, 13) + v * half(h, 16)
+            nz = w * half(h, 11) + u * half(h, 14) + v * half(h, 17)
+            t = jnp.where(hitm, t, 1e30)
+            return {
+                "t": t, "nrm": (nx, ny, nz),
+                "kd": (half(h, 18), half(h, 19), half(h, 20)),
+                "emit": (half(h, 21), half(h, 22), half(h, 23)),
+            }
+
+        ha = hit_of(0, lax_, lay, laz)
+        hb = hit_of(1, bx_, by_, bz_)
+        return (
+            {"t": ha["t"], "emit": ha["emit"], "nrm": ha["nrm"]},
+            {"t": hb["t"], "nrm": hb["nrm"], "kd": hb["kd"],
+             "emit": hb["emit"],
+             "is_sphere": jnp.zeros_like(hb["t"])},
+        )
+
+    return dual
+
+
+def _sph_dual_merge(scal_ref, sph_ref, ox, oy, oz, lax_, lay, laz,
+                    bx_, by_, bz_, sh, nxt):
+    """Fold the sphere loop's nearest hits into (sh, nxt) from a
+    triangle-only dual trace (same math as _dual_trace's sphere stage)."""
+    n_sph = scal_ref[3]
+    (tA, (exA, eyA, ezA), (nxA, nyA, nzA)) = (
+        sh["t"], sh["emit"], sh["nrm"])
+    (tB, (nxB, nyB, nzB), (kxB, kyB, kzB), (exB, eyB, ezB), sB) = (
+        nxt["t"], nxt["nrm"], nxt["kd"], nxt["emit"], nxt["is_sphere"])
+
+    def sph_body(s, c):
+        (tA, exA, eyA, ezA, nxA, nyA, nzA,
+         tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB, sB) = c
+        cx = sph_ref[s, 0]
+        cy = sph_ref[s, 1]
+        cz = sph_ref[s, 2]
+        rr = sph_ref[s, 3]
+        lx = ox - cx
+        ly = oy - cy
+        lz = oz - cz
+        c0 = lx * lx + ly * ly + lz * lz - rr * rr
+        vs_ok = sph_ref[s, 7] > 0.0
+
+        def hit_sph(dx, dy, dz):
+            a = dx * dx + dy * dy + dz * dz
+            b = 2.0 * (dx * lx + dy * ly + dz * lz)
+            disc = b * b - 4.0 * a * c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            q = -0.5 * (b + jnp.where(b >= 0, sq, -sq))
+            q = jnp.where(q == 0.0, 1e-30, q)
+            x0 = q / a
+            x1 = c0 / q
+            both = (x0 > 0.0) & (x1 > 0.0)
+            t = jnp.where(both, jnp.minimum(x0, x1),
+                          jnp.where(x0 > 0.0, x0, x1))
+            ok = (disc >= 0.0) & (t > 0.0) & vs_ok
+            return jnp.where(ok, t, 1e30)
+
+        inv_r = 1.0 / jnp.maximum(rr, 1e-20)
+        tsA = hit_sph(lax_, lay, laz)
+        bA = tsA < tA
+        tA = jnp.where(bA, tsA, tA)
+        nxA = jnp.where(bA, (ox + lax_ * tsA - cx) * inv_r, nxA)
+        nyA = jnp.where(bA, (oy + lay * tsA - cy) * inv_r, nyA)
+        nzA = jnp.where(bA, (oz + laz * tsA - cz) * inv_r, nzA)
+        exA = jnp.where(bA, sph_ref[s, 4], exA)
+        eyA = jnp.where(bA, sph_ref[s, 5], eyA)
+        ezA = jnp.where(bA, sph_ref[s, 6], ezA)
+
+        tsB = hit_sph(bx_, by_, bz_)
+        bB = tsB < tB
+        tB = jnp.where(bB, tsB, tB)
+        nxB = jnp.where(bB, (ox + bx_ * tsB - cx) * inv_r, nxB)
+        nyB = jnp.where(bB, (oy + by_ * tsB - cy) * inv_r, nyB)
+        nzB = jnp.where(bB, (oz + bz_ * tsB - cz) * inv_r, nzB)
+        kxB = jnp.where(bB, sph_ref[s, 8], kxB)
+        kyB = jnp.where(bB, sph_ref[s, 9], kyB)
+        kzB = jnp.where(bB, sph_ref[s, 10], kzB)
+        exB = jnp.where(bB, sph_ref[s, 4], exB)
+        eyB = jnp.where(bB, sph_ref[s, 5], eyB)
+        ezB = jnp.where(bB, sph_ref[s, 6], ezB)
+        sB = jnp.where(bB, 1.0, sB)
+        return (tA, exA, eyA, ezA, nxA, nyA, nzA,
+                tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB, sB)
+
+    out = jax.lax.fori_loop(
+        0, n_sph, sph_body,
+        (tA, exA, eyA, ezA, nxA, nyA, nzA,
+         tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB, sB))
+    (tA, exA, eyA, ezA, nxA, nyA, nzA,
+     tB, nxB, nyB, nzB, kxB, kyB, kzB, exB, eyB, ezB, sB) = out
+    return (
+        {"t": tA, "emit": (exA, eyA, ezA), "nrm": (nxA, nyA, nzA)},
+        {"t": tB, "nrm": (nxB, nyB, nzB), "kd": (kxB, kyB, kzB),
+         "emit": (exB, eyB, ezB), "is_sphere": sB},
+    )
+
+
 def _bounce_kernel(scal_ref, ecr_ref, tri_ref, attr_ref, sph_ref,
                    state_ref, live_ref, out_state_ref, out_live_ref,
                    acc_ref, *, n_bounces: int, p_rr: float, o_pad: int):
@@ -598,8 +912,9 @@ class _RngDyn:
 
 
 def _pt_kernel(scal_ref, seeds_ref, cam_ref, ecr_ref, tri_ref, attr_ref,
-               sph_ref, acc_ref, *, p_rr: float, o_pad: int, width: int,
-               height: int, rows: int, spp_static: int):
+               sph_ref, *rest, p_rr: float, o_pad: int, width: int,
+               height: int, rows: int, spp_static: int,
+               mm: bool = False, nc: int = 0, chunk: int = 0):
     """One WHOLE path-traced frame tile per program: camera-ray
     generation, primary trace, the full RR bounce loop, AND sample
     regeneration — a persistent wavefront. When a lane's path dies it
@@ -624,7 +939,19 @@ def _pt_kernel(scal_ref, seeds_ref, cam_ref, ecr_ref, tri_ref, attr_ref,
     the in-kernel hash removes measurable cross-sample correlation
     (image-mean spread matched the XLA estimator's only with this
     structure), and start_sample-resumed runs reproduce the monolithic
-    per-sample streams exactly."""
+    per-sample streams exactly.
+
+    `mm=True` (the >512-triangle tier): the SMEM scalar-broadcast
+    triangle loop is replaced by the chunk-culled MXU dual sweep
+    (_make_dual_trace_mm); `rest` then carries (cab, coef_c, attr24_c,
+    acc_ref, phi_s, win_s, aj_s)."""
+    if mm:
+        cab_ref, coef_ref, attr24_ref, acc_ref, phi_s, win_s, aj_s = rest
+        dual_mm = _make_dual_trace_mm(
+            cab_ref, coef_ref, attr24_ref, phi_s, win_s, aj_s,
+            nc, chunk, rows)
+    else:
+        (acc_ref,) = rest
     pid = pl.program_id(0)
     shape = (rows, 128)
     n_e = scal_ref[1]
@@ -752,10 +1079,17 @@ def _pt_kernel(scal_ref, seeds_ref, cam_ref, ecr_ref, tri_ref, attr_ref,
         bxd = jnp.where(restart, cdx, wx)
         byd = jnp.where(restart, cdy, wy)
         bzd = jnp.where(restart, cdz, wz)
-        sh, nxt = _dual_trace(
-            scal_ref, tri_ref, attr_ref, sph_ref,
-            ox, oy, oz, llx, lly, llz, bxd, byd, bzd,
-        )
+        if mm:
+            sh, nxt = dual_mm(ox, oy, oz, llx, lly, llz, bxd, byd, bzd)
+            sh, nxt = _sph_dual_merge(
+                scal_ref, sph_ref, ox, oy, oz, llx, lly, llz,
+                bxd, byd, bzd, sh, nxt,
+            )
+        else:
+            sh, nxt = _dual_trace(
+                scal_ref, tri_ref, attr_ref, sph_ref,
+                ox, oy, oz, llx, lly, llz, bxd, byd, bzd,
+            )
 
         # ---- NEE evaluation for live lanes (Scene.cpp:671-717)
         tA = sh["t"]
@@ -848,14 +1182,16 @@ def _pt_kernel(scal_ref, seeds_ref, cam_ref, ecr_ref, tri_ref, attr_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "p_rr", "max_bounces",
-                     "o_pad", "block", "interpret", "n_lanes"),
+                     "o_pad", "block", "interpret", "n_lanes",
+                     "_force_mm"),
 )
 def fused_path_camera_render(scene, key, width: int, height: int,
                              fovy_deg: float, spp: int,
                              start_sample=0, lane_offset=0,
                              p_rr: float = 0.8, max_bounces: int = 16,
                              o_pad: int = None, block: int = 1024,
-                             interpret: bool = False, n_lanes: int = None):
+                             interpret: bool = False, n_lanes: int = None,
+                             _force_mm: bool = None):
     """Render `spp` full path-tracing samples of the (width x height)
     camera frame in ONE kernel (grid over 1024-lane pixel blocks).
     Returns the UN-normalized radiance sum `acc (N, 3)` (divide by spp
@@ -878,7 +1214,23 @@ def fused_path_camera_render(scene, key, width: int, height: int,
     rows = block // 128
     nb = -(-n // block)
 
+    # >512 triangles: the SMEM scalar loop becomes the MXU dual sweep
+    # (VMEM-resident coefficient/attr tables; SMEM would overflow and
+    # the loop would crawl). The gate mirrors the mm2 trace tier.
+    # _force_mm: test hook — both tiers share RNG streams, so forcing
+    # mm on a small scene gives a near-exact A/B (tests/test_path_mm).
+    mm = (scene.v0.shape[0] > 512) if _force_mm is None else _force_mm
     attr, sph, n_sph = pack_scene_tables(scene)
+    if mm:
+        coef_c, attr24_c, cab, nc_mm = pack_mm_tables(scene)
+        mm_chunk = coef_c.shape[1] // 4
+        # the SMEM triangle tables are unused in mm mode — pass 1-row
+        # dummies so the (F, *) tables never hit the SMEM budget
+        tri_smem = jnp.zeros((1, 12), jnp.float32)
+        attr_smem = jnp.zeros((1, 16), jnp.float32)
+    else:
+        tri_smem, attr_smem = scene.tri_table, attr
+        nc_mm = mm_chunk = 0
     skeys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
         key, jnp.asarray(start_sample, jnp.int32) + jnp.arange(spp)
     )
@@ -902,25 +1254,44 @@ def fused_path_camera_render(scene, key, width: int, height: int,
         scene.background.astype(jnp.float32),
     ])
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # scalars
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # seeds
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # camera
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # ecr
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # tri geo
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # tri attr
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # spheres
+    ]
+    operands = [scal, seeds, cam, scene.emitter_cr.astype(jnp.float32),
+                tri_smem, attr_smem, sph]
+    scratch = []
+    if mm:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # cab
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # coef_c
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # attr24_c
+        ]
+        operands += [cab, coef_c, attr24_c]
+        scratch = [
+            pltpu.VMEM((13, 2 * block), jnp.float32),      # phi_s
+            pltpu.VMEM((1, 2 * block), jnp.int32),         # win_s
+            pltpu.VMEM((24, 2 * block), jnp.float32),      # aj_s
+        ]
+
     acc = pl.pallas_call(
         functools.partial(
             _pt_kernel, p_rr=p_rr, o_pad=o_pad, width=width, height=height,
-            rows=rows, spp_static=spp,
+            rows=rows, spp_static=spp, mm=mm, nc=nc_mm, chunk=mm_chunk,
         ),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # scalars
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # seeds
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # camera
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # ecr
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # tri geo
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # tri attr
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # spheres
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, nb * rows, 128), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 << 20) if mm else None),
         interpret=interpret,
-    )(scal, seeds, cam, scene.emitter_cr.astype(jnp.float32),
-      scene.tri_table, attr, sph)
+    )(*operands)
     return acc.reshape(3, nb * rows * 128)[:, :n]

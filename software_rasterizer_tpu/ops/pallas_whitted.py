@@ -66,12 +66,18 @@ _A_MTYPE, _A_IOR, _A_TEX = 30, 31, 32
 _A_KA, _A_KS, _A_SPEC = 33, 36, 39
 
 
-def pack_uber_tables(scene):
+def pack_uber_tables(scene, chunk: int = 128):
     """Kernel operand tables from an RTScene.
+
+    `chunk`: the kernel's cull/matmul granule. 128 measured best on the
+    demo scene (47.9 ms vs 54.7 at 256 and 88.6 at 512): the epilogue
+    on each visited chunk's (chunk, N) planes dominates the loop, so
+    finer culling beats fewer loop iterations.
 
     Returns (coef_c (nc, 4*chunk, 13), attr_c (nc, ATTR_COLS, chunk),
     cab (6, nc), sph (S, 24), nc, chunk)."""
-    chunk = 128
+    from software_rasterizer_tpu.ops.pallas_trace import chunk_bounds
+
     coef = scene.mt_coef                       # (4F, 13)
     f = coef.shape[0] // 4
     if f % chunk:
@@ -86,10 +92,10 @@ def pack_uber_tables(scene):
         .transpose(1, 0, 2, 3)
         .reshape(nc, 4 * chunk, N_FEATURES)
     )
-    assert scene.chunk_lo.shape[0] == nc, (scene.chunk_lo.shape, nc)
-    cab = jnp.concatenate(
-        [scene.chunk_lo.T, scene.chunk_hi.T], axis=0
-    ).astype(jnp.float32)                      # (6, nc)
+    lo, hi = chunk_bounds(scene.v0, scene.v1, scene.v2, scene.tri_valid,
+                          chunk)
+    assert lo.shape[0] == nc, (lo.shape, nc)
+    cab = jnp.concatenate([lo.T, hi.T], axis=0).astype(jnp.float32)
 
     f0 = scene.v0.shape[0]
     mt = scene.tri_mat
@@ -179,16 +185,23 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
         measured 5.6x SLOWER than the wavefront — ~3000 scalar branches
         per block-iteration dominated everything; this block shape has
         2*nc conds and 16x larger matmuls."""
-        for r in range(rows):
-            oxr, oyr, ozr = ox[r:r + 1], oy[r:r + 1], oz[r:r + 1]
-            dxr, dyr, dzr = dx[r:r + 1], dy[r:r + 1], dz[r:r + 1]
-            phi_s[:, 128 * r:128 * (r + 1)] = jnp.concatenate([
-                oxr * dyr, oxr * dzr, oyr * dxr, oyr * dzr,
-                ozr * dxr, ozr * dyr,
-                dxr, dyr, dzr, oxr, oyr, ozr,
-                jnp.ones((1, 128), jnp.float32),
-            ], axis=0)                                        # (13,128)
+        if _ablate != 5:   # 5: timing probe — sweep sans phi build
+            for r in range(rows):
+                oxr, oyr, ozr = ox[r:r + 1], oy[r:r + 1], oz[r:r + 1]
+                dxr, dyr, dzr = dx[r:r + 1], dy[r:r + 1], dz[r:r + 1]
+                phi_s[:, 128 * r:128 * (r + 1)] = jnp.concatenate([
+                    oxr * dyr, oxr * dzr, oyr * dxr, oyr * dzr,
+                    ozr * dxr, ozr * dyr,
+                    dxr, dyr, dzr, oxr, oyr, ozr,
+                    jnp.ones((1, 128), jnp.float32),
+                ], axis=0)                                    # (13,128)
         phi = phi_s[...]
+        # NOTE a vectorized all-chunks cull + branch-free extraction
+        # loop was built and measured SLOWER (sweep 15.5 -> 21.5 ms at
+        # 1024^2): the (C_pad, N) slab batch costs full-width vector
+        # work per chunk where this sequential form pays two vregs per
+        # op, and Mosaic's cond overhead proved small. PERFORMANCE.md
+        # r5 negative results.
         ix = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
         iy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
         iz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
@@ -265,11 +278,17 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
     def tri_join(row_lo, row_hi):
         """One-hot attribute join at block width: acc (k, N) = sum over
         winner chunks of attr[c, row_lo:row_hi] @ onehot(win in chunk
-        c); chunks holding no winner are skipped. Reads win_s; RETURNS
-        the (k, N) accumulation (kept in aj2_ref)."""
+        c). The loop runs only over [min, max] of the block's winner
+        chunk ids — a primary tile's winners usually live in 1-2 chunks
+        (BVH-leaf face order is spatially coherent) and a shadow join
+        whose tri winners are absent (the emitter is a sphere) loops
+        ZERO times. Reads win_s; the result stays in aj2_ref."""
         k = row_hi - row_lo
         win = win_s[...]
         aj2_ref[pl.ds(0, k), :] = jnp.zeros((k, n), jnp.float32)
+        valid = win < SENT
+        c_lo = jnp.min(jnp.where(valid, win, SENT)) // chunk
+        c_hi = (jnp.max(jnp.where(valid, win, -1)) + chunk) // chunk
 
         def chunk_body(c, _):
             inchunk = (win >= c * chunk) & (win < (c + 1) * chunk)
@@ -288,7 +307,8 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
                 aj2_ref[pl.ds(0, k), :] = aj2_ref[pl.ds(0, k), :] + part
             return 0
 
-        jax.lax.fori_loop(0, nc, chunk_body, 0)
+        jax.lax.fori_loop(jnp.minimum(c_lo, nc), jnp.minimum(c_hi, nc),
+                          chunk_body, 0)
 
     def scatter_join(out_ref, k):
         """aj2 (k, N) -> out_ref (k, rows, 128) via static row moves."""
@@ -395,8 +415,9 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
 
         def body(carry):
             live = live_ref[...] != 0
-            lf = live.astype(jnp.float32)
             nray_ref[0] = nray_ref[0] + live.astype(jnp.int32)
+            if _ablate == 3:   # probe: count ITERATIONS in nray[1]
+                nray_ref[1] = nray_ref[1] + 1
             # neuter dead lanes: canned miss ray fails every slab test,
             # so all-dead rows skip all chunks
             ox = jnp.where(live, cur_ref[0], MISS_ORIG)
@@ -412,6 +433,11 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
 
             # ---- main trace: triangles (MXU) + spheres ----
             tri_sweep(ox, oy, oz, dx, dy, dz)
+            if _ablate in (4, 5):   # probe: tri sweep only (5: no phi)
+                rgb_ref[0] = rgb_ref[0] + jnp.where(
+                    live, ts_ref[...], 0.0)
+                live_ref[...] = izero
+                return jnp.int32(0)
             sph = sph_sweep(ox, oy, oz, dx, dy, dz, True)
             tt = ts_ref[...]
             st = sph["t"]
@@ -510,103 +536,114 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
             is_diff = hit & (mtype_i == 0)
             is_spec = hit & ((mtype_i == 1) | (mtype_i == 2))
             is_glass = is_spec & (mtype_i == 1)
-            nray_ref[1] = nray_ref[1] + is_diff.astype(jnp.int32)
+            if _ablate != 3:
+                nray_ref[1] = nray_ref[1] + is_diff.astype(jnp.int32)
 
-            # ---- Phong direct toward the (single) emitter center ----
-            llx, lly, llz = _norm3(ec_x - cx_, ec_y - cy_, ec_z - cz_)
-            ndl = nx * llx + ny * lly + nz * llz
-            side = jnp.where(ndl >= 0.0, 1.0, -1.0)
-            bias = shadow_bias * jnp.maximum(
-                1.0,
-                jnp.maximum(jnp.abs(cx_),
-                            jnp.maximum(jnp.abs(cy_), jnp.abs(cz_))),
-            )
-            sox = cx_ + nx * (side * bias)
-            soy = cy_ + ny * (side * bias)
-            soz = cz_ + nz * (side * bias)
-            diff = jnp.maximum(0.0, ndl)
-            # refl of -l about n, normalized; spec = max(0,-(d.refl))^se
-            mldn = (-llx) * nx + (-lly) * ny + (-llz) * nz
-            rlx = -llx - 2.0 * mldn * nx
-            rly = -lly - 2.0 * mldn * ny
-            rlz = -llz - 2.0 * mldn * nz
-            rlx, rly, rlz = _norm3(rlx, rly, rlz)
-            sdot = jnp.maximum(0.0, -(dx * rlx + dy * rly + dz * rlz))
-            spec = jnp.where(
-                sdot > 0.0,
-                jnp.exp(sexp * jnp.log(jnp.maximum(sdot, 1e-30))),
-                jnp.where(sexp == 0.0, 1.0, 0.0),
-            )
+            def _phong_and_shadow():
+                # ---- Phong direct toward the (single) emitter center
+                llx, lly, llz = _norm3(ec_x - cx_, ec_y - cy_, ec_z - cz_)
+                ndl = nx * llx + ny * lly + nz * llz
+                side = jnp.where(ndl >= 0.0, 1.0, -1.0)
+                bias = shadow_bias * jnp.maximum(
+                    1.0,
+                    jnp.maximum(jnp.abs(cx_),
+                                jnp.maximum(jnp.abs(cy_), jnp.abs(cz_))),
+                )
+                sox = cx_ + nx * (side * bias)
+                soy = cy_ + ny * (side * bias)
+                soz = cz_ + nz * (side * bias)
+                diff = jnp.maximum(0.0, ndl)
+                # refl of -l about n; spec = max(0,-(d.refl))^se
+                mldn = (-llx) * nx + (-lly) * ny + (-llz) * nz
+                rlx = -llx - 2.0 * mldn * nx
+                rly = -lly - 2.0 * mldn * ny
+                rlz = -llz - 2.0 * mldn * nz
+                rlx, rly, rlz = _norm3(rlx, rly, rlz)
+                sdot = jnp.maximum(
+                    0.0, -(dx * rlx + dy * rly + dz * rlz))
+                spec = jnp.where(
+                    sdot > 0.0,
+                    jnp.exp(sexp * jnp.log(jnp.maximum(sdot, 1e-30))),
+                    jnp.where(sexp == 0.0, 1.0, 0.0),
+                )
 
-            # ---- shadow trace (diffuse lanes only; others canned) ----
-            shx = jnp.where(is_diff, sox, MISS_ORIG)
-            shy = jnp.where(is_diff, soy, MISS_ORIG)
-            shz = jnp.where(is_diff, soz, MISS_ORIG)
-            sdx = jnp.where(is_diff, llx, 0.0)
-            sdy = jnp.where(is_diff, lly, 0.0)
-            sdz = jnp.where(is_diff, llz, 1.0)
-            tri_sweep(shx, shy, shz, sdx, sdy, sdz)
-            sph2 = sph_sweep(shx, shy, shz, sdx, sdy, sdz, False)
-            tt2 = ts_ref[...]
-            st2 = sph2["t"]
-            use_s2 = st2 < tt2
-            t_sh = jnp.where(use_s2, st2, tt2)
-            hit_sh = t_sh < BIG
-            # emit-only join for the shadow winner (rows 27:30)
-            set_join_win(jnp.where(
-                is_diff & (tt2 < BIG) & ~use_s2, fs_ref[...], SENT))
-            tri_join(_A_EMIT, _A_EMIT + 3)
-            scatter_join(sh_ref, 3)
-            emx = jnp.where(use_s2, sph2["ex"], sh_ref[0])
-            emy = jnp.where(use_s2, sph2["ey"], sh_ref[1])
-            emz = jnp.where(use_s2, sph2["ez"], sh_ref[2])
-            lit = hit_sh & (
-                jnp.sqrt(emx * emx + emy * emy + emz * emz) >= EPS
-            ) & any_e
-            ddx = sdx * t_sh
-            ddy = sdy * t_sh
-            ddz = sdz * t_sh
-            dist2 = ddx * ddx + ddy * ddy + ddz * ddz
-            in_shadow = jnp.abs(t_sh * t_sh - dist2) > 1e-6
-            amb = jnp.where(in_shadow, 0.0, 1.0)
+                # ---- shadow trace (diffuse lanes; others canned) ----
+                shx = jnp.where(is_diff, sox, MISS_ORIG)
+                shy = jnp.where(is_diff, soy, MISS_ORIG)
+                shz = jnp.where(is_diff, soz, MISS_ORIG)
+                sdx = jnp.where(is_diff, llx, 0.0)
+                sdy = jnp.where(is_diff, lly, 0.0)
+                sdz = jnp.where(is_diff, llz, 1.0)
+                tri_sweep(shx, shy, shz, sdx, sdy, sdz)
+                sph2 = sph_sweep(shx, shy, shz, sdx, sdy, sdz, False)
+                tt2 = ts_ref[...]
+                st2 = sph2["t"]
+                use_s2 = st2 < tt2
+                t_sh = jnp.where(use_s2, st2, tt2)
+                hit_sh = t_sh < BIG
+                # emit-only join for the shadow winner (rows 27:30)
+                set_join_win(jnp.where(
+                    is_diff & (tt2 < BIG) & ~use_s2, fs_ref[...], SENT))
+                tri_join(_A_EMIT, _A_EMIT + 3)
+                scatter_join(sh_ref, 3)
+                emx = jnp.where(use_s2, sph2["ex"], sh_ref[0])
+                emy = jnp.where(use_s2, sph2["ey"], sh_ref[1])
+                emz = jnp.where(use_s2, sph2["ez"], sh_ref[2])
+                lit = hit_sh & (
+                    jnp.sqrt(emx * emx + emy * emy + emz * emz) >= EPS
+                ) & any_e
+                ddx = sdx * t_sh
+                ddy = sdy * t_sh
+                ddz = sdz * t_sh
+                dist2 = ddx * ddx + ddy * ddy + ddz * ddz
+                in_shadow = jnp.abs(t_sh * t_sh - dist2) > 1e-6
+                amb = jnp.where(in_shadow, 0.0, 1.0)
 
-            dep_gate = (is_diff & lit).astype(jnp.float32)
-            rgb_ref[0] = rgb_ref[0] + dep_gate * wr * (
-                amb * (kax + diff * kdx) * emx + spec * ksx * emx)
-            rgb_ref[1] = rgb_ref[1] + dep_gate * wg * (
-                amb * (kay + diff * kdy) * emy + spec * ksy * emy)
-            rgb_ref[2] = rgb_ref[2] + dep_gate * wb * (
-                amb * (kaz + diff * kdz) * emz + spec * ksz * emz)
+                dep_gate = (is_diff & lit).astype(jnp.float32)
+                rgb_ref[0] = rgb_ref[0] + dep_gate * wr * (
+                    amb * (kax + diff * kdx) * emx + spec * ksx * emx)
+                rgb_ref[1] = rgb_ref[1] + dep_gate * wg * (
+                    amb * (kay + diff * kdy) * emy + spec * ksy * emy)
+                rgb_ref[2] = rgb_ref[2] + dep_gate * wb * (
+                    amb * (kaz + diff * kdz) * emz + spec * ksz * emz)
 
-            # ---- texture slot (textured diffuse terminal) ----
-            # term = w * emit * diff * amb * texel; the texel multiply
-            # happens at XLA level (Mosaic has no per-lane gather). The
-            # in-kernel deposit above already used Kd == 0 for textured
-            # winners, so the slot term is purely additive.
-            want_slot = (
-                is_diff & lit & texed_win & (amb > 0.0) & (diff > 0.0)
-            )
-            swr = wr * emx * diff * amb
-            swg = wg * emy * diff * amb
-            swb = wb * emz * diff * amb
-            cnt = cnt_ref[...]
-            for s in range(k_slots):
-                here = want_slot & (cnt == s)
-                hf = here.astype(jnp.float32)
-                slot_ref[6 * s] = jnp.where(here, tex, slot_ref[6 * s])
-                slot_ref[6 * s + 1] = jnp.where(
-                    here, uvx, slot_ref[6 * s + 1])
-                slot_ref[6 * s + 2] = jnp.where(
-                    here, uvy, slot_ref[6 * s + 2])
-                slot_ref[6 * s + 3] = jnp.where(
-                    here, swr, slot_ref[6 * s + 3])
-                slot_ref[6 * s + 4] = jnp.where(
-                    here, swg, slot_ref[6 * s + 4])
-                slot_ref[6 * s + 5] = jnp.where(
-                    here, swb, slot_ref[6 * s + 5])
-            over = want_slot & (cnt >= k_slots)
-            ovf_ref[...] = ovf_ref[...] | over.astype(jnp.int32)
-            cnt_ref[...] = cnt + want_slot.astype(jnp.int32)
+                # ---- texture slot (textured diffuse terminal) ----
+                # term = w * emit * diff * amb * texel; the texel
+                # multiply happens at XLA level (Mosaic has no per-lane
+                # gather). The in-kernel deposit above already used
+                # Kd == 0 for textured winners, so the slot term is
+                # purely additive.
+                want_slot = (
+                    is_diff & lit & texed_win & (amb > 0.0)
+                    & (diff > 0.0)
+                )
+                swr = wr * emx * diff * amb
+                swg = wg * emy * diff * amb
+                swb = wb * emz * diff * amb
+                cnt = cnt_ref[...]
+                for s in range(k_slots):
+                    here = want_slot & (cnt == s)
+                    slot_ref[6 * s] = jnp.where(
+                        here, tex, slot_ref[6 * s])
+                    slot_ref[6 * s + 1] = jnp.where(
+                        here, uvx, slot_ref[6 * s + 1])
+                    slot_ref[6 * s + 2] = jnp.where(
+                        here, uvy, slot_ref[6 * s + 2])
+                    slot_ref[6 * s + 3] = jnp.where(
+                        here, swr, slot_ref[6 * s + 3])
+                    slot_ref[6 * s + 4] = jnp.where(
+                        here, swg, slot_ref[6 * s + 4])
+                    slot_ref[6 * s + 5] = jnp.where(
+                        here, swb, slot_ref[6 * s + 5])
+                over = want_slot & (cnt >= k_slots)
+                ovf_ref[...] = ovf_ref[...] | over.astype(jnp.int32)
+                cnt_ref[...] = cnt + want_slot.astype(jnp.int32)
+
+            # Predicated on the block having ANY diffuse lane this
+            # iteration — deep specular-chain iterations (the glass-
+            # region DFS tail) skip a full sweep + join + the
+            # transcendental-heavy Phong math.
+            pl.when(jnp.any(is_diff))(_phong_and_shadow)
 
             # ---- specular: Fresnel fork (Tools.cpp:250-293) ----
             can_spawn = is_spec & (depth < max_depth)
@@ -722,18 +759,18 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "k_slots", "block", "interpret",
-                     "_ablate"),
+    static_argnames=("max_depth", "k_slots", "block", "chunk",
+                     "interpret", "_ablate"),
 )
 def whitted_uber_trace(scene, orig, d, max_depth: int = 5,
                        k_slots: int = 4, block: int = 2048,
-                       shadow_bias=1e-4, interpret: bool = False,
-                       _ablate: int = 0):
+                       chunk: int = 128, shadow_bias=1e-4,
+                       interpret: bool = False, _ablate: int = 0):
     """Run the über-kernel over (N,3) rays (tile-order lanes). Returns
     (rgb (N,3) pre-texture, slots (N, k_slots, 6), ovf (N,) bool,
     rays_main (), rays_shadow ()). The caller applies texture slots and
     (rarely) the exact-overflow patch."""
-    coef_c, attr_c, cab, sph, nc, chunk = pack_uber_tables(scene)
+    coef_c, attr_c, cab, sph, nc, chunk = pack_uber_tables(scene, chunk)
     n = orig.shape[0]
     rows = block // 128
     nb = -(-n // block)

@@ -142,6 +142,34 @@ def _fused_auto(scene: RTScene) -> bool:
     )
 
 
+def _fused_camera_auto(scene: RTScene) -> bool:
+    """Dispatch for the PERSISTENT CAMERA kernel specifically
+    (fused_path_camera_render): like `_fused_auto` but the triangle
+    ceiling is the mm2 tier's 16K — above 512 triangles the kernel's
+    r5 MXU dual-sweep tier (pallas_path._make_dual_trace_mm) replaces
+    the SMEM scalar loop, so mid-size scenes (the 5.9K-tri spot cow)
+    run fused instead of falling to the XLA wavefront's per-bounce
+    full-width epilogues."""
+    import os
+
+    flag = os.environ.get("SRT_FUSED_PATH", "auto")
+    if flag == "0":
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if flag == "1":
+        return True
+    return (
+        on_tpu
+        and scene.v0.shape[0] <= 16384
+        and scene.sph_c.shape[0] <= 64
+        and scene.emitter_cr.shape[0] <= 8
+        and scene.tex_on_emitter.shape[0] == 0
+    )
+
+
 def _fused_path_trace(scene, hit, key, p_rr, max_bounces, radiance,
                       with_stats):
     """All `max_bounces` bounces in ONE fused kernel call at FULL
@@ -383,7 +411,7 @@ def path_render(
     trace, all bounces, and sample REGENERATION — a lane whose path dies
     immediately starts its pixel's next sample, so per-lane work tracks
     spp * E[path length] instead of spp * max_bounces."""
-    use_fused = _fused_auto(scene) if fused is None else fused
+    use_fused = _fused_camera_auto(scene) if fused is None else fused
     if use_fused:
         from software_rasterizer_tpu.ops.pallas_path import (
             fused_path_camera_render,

@@ -72,7 +72,7 @@ def sharded_path_render(
     count width*height must divide evenly into n_tile * block-aligned
     shards (pad the framebuffer or pick block accordingly).
     """
-    from software_rasterizer_tpu.ops.path import _fused_auto
+    from software_rasterizer_tpu.ops.path import _fused_camera_auto
 
     mesh = rmesh.mesh
     n_spp, n_tile = rmesh.n_spp, rmesh.n_tile
@@ -85,7 +85,7 @@ def sharded_path_render(
     spp_per = spp // n_spp
     if lanes_per % block and lanes_per > block:
         raise ValueError("block must divide the per-device lane count")
-    use_fused = _fused_auto(scene) if fused is None else fused
+    use_fused = _fused_camera_auto(scene) if fused is None else fused
 
     orig, d = camera_rays(scene.eye, fovy, width, height)
 
