@@ -14,8 +14,9 @@ Scene::whittedRayTracing, Scene.cpp:478-617) with
     accounting all disappear (the DFS stack covers the full tree, so
     there are NO dropped child rays);
   * an in-kernel chunk-culled MXU trace (the mm2 bilinear form,
-    ops/pallas_trace) run per 128-lane ROW — a finer cull granule than
-    the wavefront's 2048-ray blocks, so child rays cull better;
+    ops/pallas_trace) per 2048-lane block — a per-128-lane-row shape
+    was built first and measured 5.6x SLOWER (scalar-branch overload;
+    PERFORMANCE.md r5 log);
   * winner attributes joined in-kernel by per-chunk ONE-HOT MATMULS
     (Mosaic has no per-lane gather; the (40, chunk) @ (chunk, 128)
     product is the supported form, skipped for chunks holding no

@@ -796,7 +796,8 @@ def whitted_trace(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "block", "chunk",
                      "queue_factor", "queue_shrink", "with_stats",
-                     "shade_cap", "shadow_bias", "_debug_skip", "uber"),
+                     "shade_cap", "shadow_bias", "_debug_skip", "uber",
+                     "uber_slots"),
 )
 def whitted_render(
     scene: RTScene,
@@ -815,6 +816,7 @@ def whitted_render(
     shadow_bias: float = SHADOW_BIAS,
     _debug_skip=(),
     uber: bool = None,
+    uber_slots: int = 4,
 ):
     """Render one Whitted frame. Returns (H,W,3) float image (pre-clamp);
     with_stats=True returns (image, stats) — see whitted_trace.
@@ -877,7 +879,7 @@ def whitted_render(
         )
 
         rgb, slots, ovf, rm, rs = whitted_uber_trace(
-            scene, orig, d, max_depth=max_depth,
+            scene, orig, d, max_depth=max_depth, k_slots=uber_slots,
             shadow_bias=shadow_bias,
             interpret=jax.default_backend() != "tpu",
         )
@@ -968,6 +970,8 @@ def whitted_render_exact(
     shadow_bias: float = SHADOW_BIAS,
     bucket: int = 2048,
     return_stats: bool = False,
+    uber: bool = None,
+    uber_slots: int = 4,
 ):
     """Overflow-EXACT Whitted render: dropped rays handled, not just
     counted.
@@ -995,7 +999,7 @@ def whitted_render_exact(
     img, stats = whitted_render(
         scene, width, height, fovy, key, spp, max_depth, block, chunk,
         queue_factor, queue_shrink, with_stats=True, shade_cap=shade_cap,
-        shadow_bias=shadow_bias,
+        shadow_bias=shadow_bias, uber=uber, uber_slots=uber_slots,
     )
     # scalar readback first: the overflow-free common case (default
     # queue config on the shipped scenes) pays a 4-byte fetch, not the
