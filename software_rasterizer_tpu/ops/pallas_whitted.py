@@ -647,101 +647,120 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
             pl.when(jnp.any(is_diff))(_phong_and_shadow)
 
             # ---- specular: Fresnel fork (Tools.cpp:250-293) ----
+            # Like the diffuse section, predicated: iterations whose
+            # live lanes are all terminal (diffuse/miss leaves — common
+            # in the DFS tail) skip the Fresnel/refract math, the push
+            # chains, and the continue-state writes entirely. `pop`
+            # reads sp BEFORE the section (push only touches cont
+            # lanes, disjoint from pop lanes, so per-lane values agree).
             can_spawn = is_spec & (depth < max_depth)
-            cosi = jnp.clip(dx * nx + dy * ny + dz * nz, -1.0, 1.0)
-            exiting = cosi > 0
-            etai = jnp.where(exiting, ior, 1.0)
-            etat = jnp.where(exiting, 1.0, ior)
-            sint = etai / etat * jnp.sqrt(
-                jnp.maximum(0.0, 1.0 - cosi * cosi))
-            tir = sint >= 1.0
-            cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint * sint))
-            ci = jnp.abs(cosi)
-            rs = (etat * ci - etai * cost) / (etat * ci + etai * cost)
-            rp = (etai * ci - etat * cost) / (etai * ci + etat * cost)
-            kr = jnp.where(tir, 1.0, (rs * rs + rp * rp) * 0.5)
-            kr = jnp.clip(kr, 0.0, 1.0)
-
-            rfx = dx - 2.0 * cosi * nx
-            rfy = dy - 2.0 * cosi * ny
-            rfz = dz - 2.0 * cosi * nz
-            rfx, rfy, rfz = _norm3(rfx, rfy, rfz)
-
-            entering = cosi < 0
-            r_etai = jnp.where(entering, 1.0, ior)
-            r_etat = jnp.where(entering, ior, 1.0)
-            nnx2 = jnp.where(entering, nx, -nx)
-            nny2 = jnp.where(entering, ny, -ny)
-            nnz2 = jnp.where(entering, nz, -nz)
-            eta = r_etai / r_etat
-            kk = 1.0 - eta * eta * (1.0 - ci * ci)
-            rr_s = eta * ci - jnp.sqrt(jnp.maximum(kk, 0.0))
-            rrx = eta * dx + rr_s * nnx2
-            rry = eta * dy + rr_s * nny2
-            rrz = eta * dz + rr_s * nnz2
-            tir2 = kk < 0
-            rrx = jnp.where(tir2, 0.0, rrx)
-            rry = jnp.where(tir2, 0.0, rry)
-            rrz = jnp.where(tir2, 0.0, rrz)
-            has_refr = (
-                jnp.sqrt(rrx * rrx + rry * rry + rrz * rrz) > 1e-6
-            ) & (jnp.abs(kr - 1.0) > 1e-6)
-            rrx, rry, rrz = _norm3(rrx, rry, rrz, 1e-20)
-
-            idotn = cosi
-            side_g = jnp.where(idotn < 0, 1.0, -1.0)   # refl off glass
-            rdotn = rfx * nx + rfy * ny + rfz * nz
-            side_m = jnp.where(rdotn > 0, 1.0, -1.0)   # refl off mirror
-            side_r = jnp.where(idotn > 0, 1.0, -1.0)   # refract side
-            refl_side = jnp.where(is_glass, side_g, side_m)
-            rox = cx_ + nx * refl_side * EPS
-            roy = cy_ + ny * refl_side * EPS
-            roz = cz_ + nz * refl_side * EPS
-            qox = cx_ + nx * side_r * EPS
-            qoy = cy_ + ny * side_r * EPS
-            qoz = cz_ + nz * side_r * EPS
-            refl_w = jnp.where(is_glass, kr, 1.0)
-
-            # push the refract child (glass, refraction exists, depth ok)
-            push = can_spawn & is_glass & has_refr
-            sp = sp_ref[...]
-            pi = push.astype(jnp.int32)
-            pvals = [qox, qoy, qoz, rrx, rry, rrz,
-                     wr * (1.0 - kr), wg * (1.0 - kr), wb * (1.0 - kr)]
-            for lvl in range(max_depth):
-                here = push & (sp == lvl)
-                for j in range(9):
-                    stk_ref[lvl, j] = jnp.where(
-                        here, pvals[j], stk_ref[lvl, j])
-                stk_ref[lvl, 9] = jnp.where(
-                    here, (depth + 1).astype(jnp.float32),
-                    stk_ref[lvl, 9])
-            sp = sp + pi
-
-            # continue into the reflect child, or pop, or die
             cont = can_spawn
-            pop = live & ~cont & (sp > 0)
-            spm1 = jnp.maximum(sp - 1, 0)
-            popv = [zero] * 10
-            for lvl in range(max_depth):
-                here = pop & (spm1 == lvl)
-                for j in range(10):
-                    popv[j] = jnp.where(here, stk_ref[lvl, j], popv[j])
-            sp_ref[...] = jnp.where(pop, spm1, sp)
+            pop = live & ~cont & (sp_ref[...] > 0)
+
+            def _spec_section():
+                cosi = jnp.clip(dx * nx + dy * ny + dz * nz, -1.0, 1.0)
+                exiting = cosi > 0
+                etai = jnp.where(exiting, ior, 1.0)
+                etat = jnp.where(exiting, 1.0, ior)
+                sint = etai / etat * jnp.sqrt(
+                    jnp.maximum(0.0, 1.0 - cosi * cosi))
+                tir = sint >= 1.0
+                cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint * sint))
+                ci = jnp.abs(cosi)
+                rs = (etat * ci - etai * cost) / (etat * ci + etai * cost)
+                rp = (etai * ci - etat * cost) / (etai * ci + etat * cost)
+                kr = jnp.where(tir, 1.0, (rs * rs + rp * rp) * 0.5)
+                kr = jnp.clip(kr, 0.0, 1.0)
+
+                rfx = dx - 2.0 * cosi * nx
+                rfy = dy - 2.0 * cosi * ny
+                rfz = dz - 2.0 * cosi * nz
+                rfx, rfy, rfz = _norm3(rfx, rfy, rfz)
+
+                entering = cosi < 0
+                r_etai = jnp.where(entering, 1.0, ior)
+                r_etat = jnp.where(entering, ior, 1.0)
+                nnx2 = jnp.where(entering, nx, -nx)
+                nny2 = jnp.where(entering, ny, -ny)
+                nnz2 = jnp.where(entering, nz, -nz)
+                eta = r_etai / r_etat
+                kk = 1.0 - eta * eta * (1.0 - ci * ci)
+                rr_s = eta * ci - jnp.sqrt(jnp.maximum(kk, 0.0))
+                rrx = eta * dx + rr_s * nnx2
+                rry = eta * dy + rr_s * nny2
+                rrz = eta * dz + rr_s * nnz2
+                tir2 = kk < 0
+                rrx = jnp.where(tir2, 0.0, rrx)
+                rry = jnp.where(tir2, 0.0, rry)
+                rrz = jnp.where(tir2, 0.0, rrz)
+                has_refr = (
+                    jnp.sqrt(rrx * rrx + rry * rry + rrz * rrz) > 1e-6
+                ) & (jnp.abs(kr - 1.0) > 1e-6)
+                rrx, rry, rrz = _norm3(rrx, rry, rrz, 1e-20)
+
+                idotn = cosi
+                side_g = jnp.where(idotn < 0, 1.0, -1.0)  # glass refl
+                rdotn = rfx * nx + rfy * ny + rfz * nz
+                side_m = jnp.where(rdotn > 0, 1.0, -1.0)  # mirror refl
+                side_r = jnp.where(idotn > 0, 1.0, -1.0)  # refract
+                refl_side = jnp.where(is_glass, side_g, side_m)
+                rox = cx_ + nx * refl_side * EPS
+                roy = cy_ + ny * refl_side * EPS
+                roz = cz_ + nz * refl_side * EPS
+                qox = cx_ + nx * side_r * EPS
+                qoy = cy_ + ny * side_r * EPS
+                qoz = cz_ + nz * side_r * EPS
+                refl_w = jnp.where(is_glass, kr, 1.0)
+
+                # push the refract child (glass, refraction, depth ok)
+                push = can_spawn & is_glass & has_refr
+                sp = sp_ref[...]
+                pvals = [qox, qoy, qoz, rrx, rry, rrz,
+                         wr * (1.0 - kr), wg * (1.0 - kr),
+                         wb * (1.0 - kr)]
+                for lvl in range(max_depth):
+                    here = push & (sp == lvl)
+                    for j in range(9):
+                        stk_ref[lvl, j] = jnp.where(
+                            here, pvals[j], stk_ref[lvl, j])
+                    stk_ref[lvl, 9] = jnp.where(
+                        here, (depth + 1).astype(jnp.float32),
+                        stk_ref[lvl, 9])
+                sp_ref[...] = sp + push.astype(jnp.int32)
+
+                # continue into the reflect child
+                cur_ref[0] = jnp.where(cont, rox, cur_ref[0])
+                cur_ref[1] = jnp.where(cont, roy, cur_ref[1])
+                cur_ref[2] = jnp.where(cont, roz, cur_ref[2])
+                cur_ref[3] = jnp.where(cont, rfx, cur_ref[3])
+                cur_ref[4] = jnp.where(cont, rfy, cur_ref[4])
+                cur_ref[5] = jnp.where(cont, rfz, cur_ref[5])
+                cur_ref[6] = jnp.where(cont, wr * refl_w, cur_ref[6])
+                cur_ref[7] = jnp.where(cont, wg * refl_w, cur_ref[7])
+                cur_ref[8] = jnp.where(cont, wb * refl_w, cur_ref[8])
+                dep_ref[...] = jnp.where(cont, depth + 1, dep_ref[...])
+
+            pl.when(jnp.any(can_spawn))(_spec_section)
+
+            def _pop_section():
+                sp = sp_ref[...]
+                spm1 = jnp.maximum(sp - 1, 0)
+                popv = [zero] * 10
+                for lvl in range(max_depth):
+                    here = pop & (spm1 == lvl)
+                    for j in range(10):
+                        popv[j] = jnp.where(
+                            here, stk_ref[lvl, j], popv[j])
+                sp_ref[...] = jnp.where(pop, spm1, sp)
+                for j in range(9):
+                    cur_ref[j] = jnp.where(pop, popv[j], cur_ref[j])
+                dep_ref[...] = jnp.where(
+                    pop, jnp.round(popv[9]).astype(jnp.int32),
+                    dep_ref[...])
+
+            pl.when(jnp.any(pop))(_pop_section)
 
             new_live = cont | pop
-            cur_ref[0] = jnp.where(cont, rox, popv[0])
-            cur_ref[1] = jnp.where(cont, roy, popv[1])
-            cur_ref[2] = jnp.where(cont, roz, popv[2])
-            cur_ref[3] = jnp.where(cont, rfx, popv[3])
-            cur_ref[4] = jnp.where(cont, rfy, popv[4])
-            cur_ref[5] = jnp.where(cont, rfz, popv[5])
-            cur_ref[6] = jnp.where(cont, wr * refl_w, popv[6])
-            cur_ref[7] = jnp.where(cont, wg * refl_w, popv[7])
-            cur_ref[8] = jnp.where(cont, wb * refl_w, popv[8])
-            dep_ref[...] = jnp.where(
-                cont, depth + 1,
-                jnp.round(popv[9]).astype(jnp.int32))
             live_ref[...] = new_live.astype(jnp.int32)
             return jnp.sum(new_live.astype(jnp.int32))
 
