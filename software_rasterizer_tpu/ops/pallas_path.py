@@ -341,22 +341,18 @@ def _make_dual_trace_mm(cab_ref, coef_ref, attr_ref, phi_s, win_s, aj_s,
                         precision=jax.lax.Precision.HIGHEST):
     """Dual-ray nearest hit via the chunk-culled MXU sweep — the
     >512-triangle tier of the persistent path kernel. Ray sets A (NEE
-    shadow) and B (next bounce) share origins and are traced in ONE
-    chunk loop as the two column halves of a (13, 2*N) feature matrix
-    (one cull test — the union of both sets' slab hits — and one
-    (4C, 13) @ (13, 2N) matmul per visited chunk).
-
-    Same applicability trade as the whitted über-kernel (which proved
-    this structure): culling fires per 2N-column block, so COHERENT ray
-    populations (primary/restart rays, NEE rays toward the light) skip
-    most chunks while divergent bounce rays pay the full sweep — the
-    physics of SIMD chunk culling; see PERFORMANCE.md r5.
+    shadow) and B (next bounce) sweep SEPARATELY — a first version
+    swept both as one (13, 2N) matrix under a UNION cull, which threw
+    away the coherent halves' culling: divergent bounce columns enter
+    essentially every chunk, so the union did too. Split sweeps let the
+    NEE half (rays converging on the light's bounding sphere) and the
+    restart-heavy B iterations skip chunks independently.
 
     Winner attributes join via per-chunk one-hot matmuls over the 24-row
-    table; (u, v, t) recompute exactly per lane (oracle _mt_uv formula),
-    so integrator-visible values match the XLA wavefront's nearest_hit.
-    Triangle results only — the caller merges the sphere loop on top.
-    Returns (tA, uA..., dict planes) in (rows, 128) layout."""
+    table (both halves share one join pass); (u, v, t) recompute exactly
+    per lane (oracle _mt_uv formula), so integrator-visible values match
+    the XLA wavefront's nearest_hit. Triangle results only — the caller
+    merges the sphere loop on top."""
 
     def dual(ox, oy, oz, lax_, lay, laz, bx_, by_, bz_):
         n = rows * 128
@@ -374,14 +370,6 @@ def _make_dual_trace_mm(cab_ref, coef_ref, attr_ref, phi_s, win_s, aj_s,
                     dxr, dyr, dzr, oxr, oyr, ozr,
                     jnp.ones((1, 128), jnp.float32),
                 ], axis=0)
-        phi = phi_s[...]
-
-        ix_a = 1.0 / jnp.where(lax_ == 0.0, 1e-30, lax_)
-        iy_a = 1.0 / jnp.where(lay == 0.0, 1e-30, lay)
-        iz_a = 1.0 / jnp.where(laz == 0.0, 1e-30, laz)
-        ix_b = 1.0 / jnp.where(bx_ == 0.0, 1e-30, bx_)
-        iy_b = 1.0 / jnp.where(by_ == 0.0, 1e-30, by_)
-        iz_b = 1.0 / jnp.where(bz_ == 0.0, 1e-30, bz_)
 
         def slab(c, ix, iy, iz):
             t0 = (cab_ref[0, c] - ox) * ix
@@ -398,53 +386,63 @@ def _make_dual_trace_mm(cab_ref, coef_ref, attr_ref, phi_s, win_s, aj_s,
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
             return jnp.any(tmax >= jnp.maximum(tmin, 0.0))
 
-        def chunk_body(c, carry):
-            enter = slab(c, ix_a, iy_a, iz_a) | slab(c, ix_b, iy_b, iz_b)
+        def sweep(h, dx_, dy_, dz_):
+            phi = phi_s[:, h * n:(h + 1) * n]
+            ix = 1.0 / jnp.where(dx_ == 0.0, 1e-30, dx_)
+            iy = 1.0 / jnp.where(dy_ == 0.0, 1e-30, dy_)
+            iz = 1.0 / jnp.where(dz_ == 0.0, 1e-30, dz_)
 
-            def visit(carry):
-                best_t, best_f = carry
-                prod = jax.lax.dot_general(
-                    coef_ref[c], phi,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=precision,
-                    preferred_element_type=jnp.float32,
-                )
-                up = prod[0:chunk]
-                vp = prod[chunk:2 * chunk]
-                tp = prod[2 * chunk:3 * chunk]
-                det = prod[3 * chunk:4 * chunk]
-                absd = jnp.abs(det)
-                inv = 1.0 / jnp.where(absd < 1e-6, 1.0, det)
-                u = up * inv
-                v = vp * inv
-                t = tp * inv
-                ok = (
-                    (absd >= 1e-6)
-                    & (u >= 0.0) & (u <= 1.0)
-                    & (v >= 0.0) & (u + v <= 1.0)
-                    & (t >= 1e-6)
-                )
-                tm = jnp.where(ok, t, 1e30)
-                ct = jnp.min(tm, axis=0, keepdims=True)
-                ri = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
-                cf = jnp.min(
-                    jnp.where(tm == ct, ri, jnp.int32(MM_SENT)),
-                    axis=0, keepdims=True,
-                ) + c * chunk
-                better = ct < best_t
-                return (
-                    jnp.where(better, ct, best_t),
-                    jnp.where(better, cf, best_f),
-                )
+            def chunk_body(c, carry):
+                def visit(carry):
+                    best_t, best_f = carry
+                    prod = jax.lax.dot_general(
+                        coef_ref[c], phi,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32,
+                    )
+                    up = prod[0:chunk]
+                    vp = prod[chunk:2 * chunk]
+                    tp = prod[2 * chunk:3 * chunk]
+                    det = prod[3 * chunk:4 * chunk]
+                    absd = jnp.abs(det)
+                    inv = 1.0 / jnp.where(absd < 1e-6, 1.0, det)
+                    u = up * inv
+                    v = vp * inv
+                    t = tp * inv
+                    ok = (
+                        (absd >= 1e-6)
+                        & (u >= 0.0) & (u <= 1.0)
+                        & (v >= 0.0) & (u + v <= 1.0)
+                        & (t >= 1e-6)
+                    )
+                    tm = jnp.where(ok, t, 1e30)
+                    ct = jnp.min(tm, axis=0, keepdims=True)
+                    ri = jax.lax.broadcasted_iota(
+                        jnp.int32, tm.shape, 0)
+                    cf = jnp.min(
+                        jnp.where(tm == ct, ri, jnp.int32(MM_SENT)),
+                        axis=0, keepdims=True,
+                    ) + c * chunk
+                    better = ct < best_t
+                    return (
+                        jnp.where(better, ct, best_t),
+                        jnp.where(better, cf, best_f),
+                    )
 
-            return jax.lax.cond(enter, visit, lambda c_: c_, carry)
+                return jax.lax.cond(
+                    slab(c, ix, iy, iz), visit, lambda c_: c_, carry)
 
-        init = (
-            jnp.full((1, 2 * n), 1e30, jnp.float32),
-            jnp.full((1, 2 * n), MM_SENT, jnp.int32),
-        )
-        bt, bf = jax.lax.fori_loop(0, nc, chunk_body, init)
-        win_s[...] = jnp.where(bt < 1e30, bf, MM_SENT)
+            init = (
+                jnp.full((1, n), 1e30, jnp.float32),
+                jnp.full((1, n), MM_SENT, jnp.int32),
+            )
+            bt, bf = jax.lax.fori_loop(0, nc, chunk_body, init)
+            win_s[:, h * n:(h + 1) * n] = jnp.where(
+                bt < 1e30, bf, MM_SENT)
+
+        sweep(0, lax_, lay, laz)
+        sweep(1, bx_, by_, bz_)
 
         # one-hot join over the 24-row table (both halves at once)
         win = win_s[...]
