@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 N_FEATURES = 13
 ATTR_COLS = 40
+SUPER = 8      # chunks per super-chunk (two-level cull granule)
 EPS = 1e-5          # Scene.hpp:160
 BIG = 1e30
 SENT = 0x7FFFFFF0   # winner sentinel: no chunk matches
@@ -76,7 +77,7 @@ def pack_uber_tables(scene, chunk: int = 128):
     finer culling beats fewer loop iterations.
 
     Returns (coef_c (nc, 4*chunk, 13), attr_c (nc, ATTR_COLS, chunk),
-    cab (6, nc), sph (S, 24), nc, chunk)."""
+    cab (6, nsc*SUPER), cab2 (6, nsc), sph (S, 24), nc, chunk)."""
     from software_rasterizer_tpu.ops.pallas_trace import chunk_bounds
 
     coef = scene.mt_coef                       # (4F, 13)
@@ -96,7 +97,23 @@ def pack_uber_tables(scene, chunk: int = 128):
     lo, hi = chunk_bounds(scene.v0, scene.v1, scene.v2, scene.tri_valid,
                           chunk)
     assert lo.shape[0] == nc, (lo.shape, nc)
-    cab = jnp.concatenate([lo.T, hi.T], axis=0).astype(jnp.float32)
+    # TWO-LEVEL cull: super-chunk AABBs over SUPER consecutive chunks
+    # (BVH-leaf order keeps them tight). The sweep tests supers first
+    # and descends only into entered ones — the flat 46-cond cull loop
+    # was most of the sweep's per-block fixed cost (all-dead rows pay
+    # ~nsc conds instead of nc).
+    nsc = -(-nc // SUPER)
+    pad_c = nsc * SUPER - nc
+    lo_p = jnp.pad(lo, ((0, pad_c), (0, 0)), constant_values=BIG)
+    hi_p = jnp.pad(hi, ((0, pad_c), (0, 0)), constant_values=-BIG)
+    cab2 = jnp.concatenate([
+        lo_p.reshape(nsc, SUPER, 3).min(1).T,
+        hi_p.reshape(nsc, SUPER, 3).max(1).T,
+    ], axis=0).astype(jnp.float32)             # (6, nsc)
+    # cab padded to nsc*SUPER columns (inverted boxes): the inner cull
+    # loop reads fixed SUPER-sized windows; padded chunks never enter,
+    # so the (cond-guarded) coef/attr reads for them never execute
+    cab = jnp.concatenate([lo_p.T, hi_p.T], axis=0).astype(jnp.float32)
 
     f0 = scene.v0.shape[0]
     mt = scene.tri_mat
@@ -137,7 +154,7 @@ def pack_uber_tables(scene, chunk: int = 128):
         scene.mat_spec[sm][:, None],                       # 16
         jnp.zeros((s, 7)),                                 # 17:24 pad
     ], axis=1).astype(jnp.float32)                         # (S, 24)
-    return coef_c, attr_c, cab, sph, nc, chunk
+    return coef_c, attr_c, cab, cab2, sph, nc, chunk
 
 
 def _norm3(x, y, z, eps=0.0):
@@ -148,12 +165,13 @@ def _norm3(x, y, z, eps=0.0):
     return x * inv, y * inv, z * inv
 
 
-def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
+def _uber_kernel(scal_ref, cab_ref, cab2_ref, sph_ref, coef_ref, attr_ref,
                  o_ref, d_ref,
                  rgb_ref, slot_ref, ovf_ref, nray_ref,
                  ts_ref, fs_ref, aj_ref, sh_ref, phi_s, win_s, aj2_ref,
-                 *, nc: int, chunk: int, rows: int, max_depth: int,
-                 k_slots: int, n_sph_pad: int, _ablate: int = 0,
+                 *, nc: int, nsc: int, chunk: int, rows: int,
+                 max_depth: int, k_slots: int, n_sph_pad: int,
+                 _ablate: int = 0,
                  precision=jax.lax.Precision.HIGHEST):
     """One 2048-ray screen tile's full Whitted render.
 
@@ -207,20 +225,23 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
         iy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
         iz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
 
-        def chunk_body(c, carry):
-            t0 = (cab_ref[0, c] - ox) * ix
-            t1 = (cab_ref[3, c] - ox) * ix
+        def slab_enter(ab_ref, c):
+            t0 = (ab_ref[0, c] - ox) * ix
+            t1 = (ab_ref[3, c] - ox) * ix
             tmin = jnp.minimum(t0, t1)
             tmax = jnp.maximum(t0, t1)
-            t0 = (cab_ref[1, c] - oy) * iy
-            t1 = (cab_ref[4, c] - oy) * iy
+            t0 = (ab_ref[1, c] - oy) * iy
+            t1 = (ab_ref[4, c] - oy) * iy
             tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
-            t0 = (cab_ref[2, c] - oz) * iz
-            t1 = (cab_ref[5, c] - oz) * iz
+            t0 = (ab_ref[2, c] - oz) * iz
+            t1 = (ab_ref[5, c] - oz) * iz
             tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
-            enter = jnp.any(tmax >= jnp.maximum(tmin, 0.0))
+            return jnp.any(tmax >= jnp.maximum(tmin, 0.0))
+
+        def chunk_body(c, carry):
+            enter = slab_enter(cab_ref, c)
 
             def visit(carry):
                 best_t, best_f = carry
@@ -260,11 +281,19 @@ def _uber_kernel(scal_ref, cab_ref, sph_ref, coef_ref, attr_ref,
 
             return jax.lax.cond(enter, visit, lambda c_: c_, carry)
 
+        def super_body(sc, carry):
+            def descend(carry):
+                return jax.lax.fori_loop(
+                    sc * SUPER, (sc + 1) * SUPER, chunk_body, carry)
+
+            return jax.lax.cond(
+                slab_enter(cab2_ref, sc), descend, lambda c_: c_, carry)
+
         init = (
             jnp.full((1, n), BIG, jnp.float32),
             jnp.full((1, n), SENT, jnp.int32),
         )
-        bt, bf = jax.lax.fori_loop(0, nc, chunk_body, init)
+        bt, bf = jax.lax.fori_loop(0, nsc, super_body, init)
         bf = jnp.where(bt < BIG, bf, SENT)
         for r in range(rows):
             ts_ref[r:r + 1, :] = bt[:, 128 * r:128 * (r + 1)]
@@ -790,7 +819,8 @@ def whitted_uber_trace(scene, orig, d, max_depth: int = 5,
     (rgb (N,3) pre-texture, slots (N, k_slots, 6), ovf (N,) bool,
     rays_main (), rays_shadow ()). The caller applies texture slots and
     (rarely) the exact-overflow patch."""
-    coef_c, attr_c, cab, sph, nc, chunk = pack_uber_tables(scene, chunk)
+    coef_c, attr_c, cab, cab2, sph, nc, chunk = pack_uber_tables(
+        scene, chunk)
     n = orig.shape[0]
     rows = block // 128
     nb = -(-n // block)
@@ -813,14 +843,15 @@ def whitted_uber_trace(scene, orig, d, max_depth: int = 5,
 
     rgb, slots, ovf, nray = pl.pallas_call(
         functools.partial(
-            _uber_kernel, nc=nc, chunk=chunk, rows=rows,
-            max_depth=max_depth, k_slots=k_slots,
+            _uber_kernel, nc=nc, nsc=cab2.shape[1], chunk=chunk,
+            rows=rows, max_depth=max_depth, k_slots=k_slots,
             n_sph_pad=sph.shape[0], _ablate=_ablate,
         ),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # scal
             pl.BlockSpec(memory_space=pltpu.SMEM),              # cab
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # cab2
             pl.BlockSpec(memory_space=pltpu.SMEM),              # sph
             pl.BlockSpec(memory_space=pltpu.VMEM),              # coef
             pl.BlockSpec(memory_space=pltpu.VMEM),              # attr
@@ -858,7 +889,7 @@ def whitted_uber_trace(scene, orig, d, max_depth: int = 5,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(scal, cab, sph, coef_c, attr_c, oc, dc)
+    )(scal, cab, cab2, sph, coef_c, attr_c, oc, dc)
 
     rgb = rgb.reshape(3, n_pad).T[:n]
     slots = slots.reshape(k_slots, 6, n_pad).transpose(2, 0, 1)[:n]
