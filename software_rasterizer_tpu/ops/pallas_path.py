@@ -322,6 +322,16 @@ def pack_mm_tables(scene, chunk: int = 256):
     lo, hi = chunk_bounds(scene.v0, scene.v1, scene.v2, scene.tri_valid,
                           chunk)
     cab = jnp.concatenate([lo.T, hi.T], axis=0).astype(jnp.float32)
+    # two-level cull (r5, proven in the whitted über-kernel): 8-chunk
+    # super-AABBs gate descent into the per-chunk loop
+    nsc = -(-lo.shape[0] // 8)
+    pad_c = nsc * 8 - lo.shape[0]
+    lo_p = jnp.pad(lo, ((0, pad_c), (0, 0)), constant_values=1e30)
+    hi_p = jnp.pad(hi, ((0, pad_c), (0, 0)), constant_values=-1e30)
+    cab2 = jnp.concatenate([
+        lo_p.reshape(nsc, 8, 3).min(1).T,
+        hi_p.reshape(nsc, 8, 3).max(1).T,
+    ], axis=0).astype(jnp.float32)
     f0 = scene.v0.shape[0]
     valid = scene.tri_valid[:, None]
     rows24 = jnp.concatenate([
@@ -333,10 +343,11 @@ def pack_mm_tables(scene, chunk: int = 256):
     if fp != f0:
         rows24 = jnp.pad(rows24, ((0, fp - f0), (0, 0)))
     attr24_c = rows24.reshape(nc, chunk, 24).transpose(0, 2, 1)
-    return coef_c, attr24_c, cab, nc
+    return coef_c, attr24_c, cab, cab2, nc
 
 
-def _make_dual_trace_mm(cab_ref, coef_ref, attr_ref, phi_s, win_s, aj_s,
+def _make_dual_trace_mm(cab_ref, cab2_ref, coef_ref, attr_ref, phi_s, win_s,
+                        aj_s,
                         nc: int, chunk: int, rows: int,
                         precision=jax.lax.Precision.HIGHEST):
     """Dual-ray nearest hit via the chunk-culled MXU sweep — the
@@ -371,17 +382,17 @@ def _make_dual_trace_mm(cab_ref, coef_ref, attr_ref, phi_s, win_s, aj_s,
                     jnp.ones((1, 128), jnp.float32),
                 ], axis=0)
 
-        def slab(c, ix, iy, iz):
-            t0 = (cab_ref[0, c] - ox) * ix
-            t1 = (cab_ref[3, c] - ox) * ix
+        def slab(ab_ref, c, ix, iy, iz):
+            t0 = (ab_ref[0, c] - ox) * ix
+            t1 = (ab_ref[3, c] - ox) * ix
             tmin = jnp.minimum(t0, t1)
             tmax = jnp.maximum(t0, t1)
-            t0 = (cab_ref[1, c] - oy) * iy
-            t1 = (cab_ref[4, c] - oy) * iy
+            t0 = (ab_ref[1, c] - oy) * iy
+            t1 = (ab_ref[4, c] - oy) * iy
             tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
-            t0 = (cab_ref[2, c] - oz) * iz
-            t1 = (cab_ref[5, c] - oz) * iz
+            t0 = (ab_ref[2, c] - oz) * iz
+            t1 = (ab_ref[5, c] - oz) * iz
             tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
             return jnp.any(tmax >= jnp.maximum(tmin, 0.0))
@@ -431,13 +442,25 @@ def _make_dual_trace_mm(cab_ref, coef_ref, attr_ref, phi_s, win_s, aj_s,
                     )
 
                 return jax.lax.cond(
-                    slab(c, ix, iy, iz), visit, lambda c_: c_, carry)
+                    slab(cab_ref, c, ix, iy, iz), visit,
+                    lambda c_: c_, carry)
+
+            def super_body(sc, carry):
+                def descend(carry):
+                    return jax.lax.fori_loop(
+                        sc * 8, jnp.minimum((sc + 1) * 8, nc),
+                        chunk_body, carry)
+
+                return jax.lax.cond(
+                    slab(cab2_ref, sc, ix, iy, iz), descend,
+                    lambda c_: c_, carry)
 
             init = (
                 jnp.full((1, n), 1e30, jnp.float32),
                 jnp.full((1, n), MM_SENT, jnp.int32),
             )
-            bt, bf = jax.lax.fori_loop(0, nc, chunk_body, init)
+            bt, bf = jax.lax.fori_loop(
+                0, -(-nc // 8), super_body, init)
             win_s[:, h * n:(h + 1) * n] = jnp.where(
                 bt < 1e30, bf, MM_SENT)
 
@@ -944,9 +967,10 @@ def _pt_kernel(scal_ref, seeds_ref, cam_ref, ecr_ref, tri_ref, attr_ref,
     (_make_dual_trace_mm); `rest` then carries (cab, coef_c, attr24_c,
     acc_ref, phi_s, win_s, aj_s)."""
     if mm:
-        cab_ref, coef_ref, attr24_ref, acc_ref, phi_s, win_s, aj_s = rest
+        (cab_ref, cab2_ref, coef_ref, attr24_ref, acc_ref, phi_s,
+         win_s, aj_s) = rest
         dual_mm = _make_dual_trace_mm(
-            cab_ref, coef_ref, attr24_ref, phi_s, win_s, aj_s,
+            cab_ref, cab2_ref, coef_ref, attr24_ref, phi_s, win_s, aj_s,
             nc, chunk, rows)
     else:
         (acc_ref,) = rest
@@ -1220,7 +1244,7 @@ def fused_path_camera_render(scene, key, width: int, height: int,
     mm = (scene.v0.shape[0] > 512) if _force_mm is None else _force_mm
     attr, sph, n_sph = pack_scene_tables(scene)
     if mm:
-        coef_c, attr24_c, cab, nc_mm = pack_mm_tables(scene)
+        coef_c, attr24_c, cab, cab2, nc_mm = pack_mm_tables(scene)
         mm_chunk = coef_c.shape[1] // 4
         # the SMEM triangle tables are unused in mm mode — pass 1-row
         # dummies so the (F, *) tables never hit the SMEM budget
@@ -1267,10 +1291,11 @@ def fused_path_camera_render(scene, key, width: int, height: int,
     if mm:
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),         # cab
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # cab2
             pl.BlockSpec(memory_space=pltpu.VMEM),         # coef_c
             pl.BlockSpec(memory_space=pltpu.VMEM),         # attr24_c
         ]
-        operands += [cab, coef_c, attr24_c]
+        operands += [cab, cab2, coef_c, attr24_c]
         scratch = [
             pltpu.VMEM((13, 2 * block), jnp.float32),      # phi_s
             pltpu.VMEM((1, 2 * block), jnp.int32),         # win_s

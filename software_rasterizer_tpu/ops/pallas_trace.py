@@ -229,16 +229,25 @@ def trace_nearest_mm(coef, orig, d, chunk: int = 512, block: int = 2048,
     return hit, jnp.where(hit, fi, -1), t
 
 
-def _trace_kernel2c(cab_ref, coef_ref, o_ref, d_ref, phi_ref, t_ref, f_ref,
-                    *, nc: int, chunk: int,
+MM2C_SUPER = 8   # chunks per super-chunk of the fused cull's 2nd level
+
+
+def _trace_kernel2c(cab_ref, cab2_ref, coef_ref, o_ref, d_ref, phi_ref,
+                    t_ref, f_ref, *, nc: int, nsc: int, chunk: int,
                     precision=jax.lax.Precision.HIGHEST):
-    """mm2 with the cull prepass FUSED IN: one kernel per ray block loops
-    over ALL nc chunks, slab-tests each against the block's rays (the
-    exact `_cull_prepass_kernel` math) and runs the matmul+resolve only
-    under `lax.cond` when any ray enters — identical chunk-skip
-    decisions and winner selection to the prepass+list pipeline, minus
-    the separate prepass dispatch, the (nb, nc) mask materialization,
-    and the XLA cumsum/scatter list build that ran per trace call."""
+    """mm2 with the cull prepass FUSED IN: one kernel per ray block
+    slab-tests chunk AABBs against the block's rays (the exact
+    `_cull_prepass_kernel` math) and runs the matmul+resolve only under
+    `lax.cond` when any ray enters — identical chunk-skip decisions and
+    winner selection to the prepass+list pipeline, minus the separate
+    prepass dispatch, the (nb, nc) mask materialization, and the XLA
+    cumsum/scatter list build that ran per trace call.
+
+    r5: the cull is TWO-LEVEL — MM2C_SUPER-chunk super-AABBs (cab2)
+    gate descent into the per-chunk loop. The whitted über-kernel
+    measured the flat per-chunk cond loop as most of a culled-out
+    block's fixed cost (49.9 -> 34.8 ms/frame there); blocks whose rays
+    miss a whole region now pay one cond per super."""
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]            # (rows, 128)
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     ix = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
@@ -247,20 +256,23 @@ def _trace_kernel2c(cab_ref, coef_ref, o_ref, d_ref, phi_ref, t_ref, f_ref,
     phi = phi_ref[...]
     n = phi.shape[1]
 
-    def body(c, carry):
-        t0 = (cab_ref[0, c] - ox) * ix
-        t1 = (cab_ref[3, c] - ox) * ix
+    def slab_enter(ab_ref, c):
+        t0 = (ab_ref[0, c] - ox) * ix
+        t1 = (ab_ref[3, c] - ox) * ix
         tmin = jnp.minimum(t0, t1)
         tmax = jnp.maximum(t0, t1)
-        t0 = (cab_ref[1, c] - oy) * iy
-        t1 = (cab_ref[4, c] - oy) * iy
+        t0 = (ab_ref[1, c] - oy) * iy
+        t1 = (ab_ref[4, c] - oy) * iy
         tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
         tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
-        t0 = (cab_ref[2, c] - oz) * iz
-        t1 = (cab_ref[5, c] - oz) * iz
+        t0 = (ab_ref[2, c] - oz) * iz
+        t1 = (ab_ref[5, c] - oz) * iz
         tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
         tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
-        enter = jnp.any(tmax >= jnp.maximum(tmin, 0.0))
+        return jnp.any(tmax >= jnp.maximum(tmin, 0.0))
+
+    def body(c, carry):
+        enter = slab_enter(cab_ref, c)
 
         def visit(carry):
             best_t, best_f = carry
@@ -300,11 +312,20 @@ def _trace_kernel2c(cab_ref, coef_ref, o_ref, d_ref, phi_ref, t_ref, f_ref,
 
         return jax.lax.cond(enter, visit, lambda c_: c_, carry)
 
+    def super_body(sc, carry):
+        def descend(carry):
+            return jax.lax.fori_loop(
+                sc * MM2C_SUPER,
+                jnp.minimum((sc + 1) * MM2C_SUPER, nc), body, carry)
+
+        return jax.lax.cond(
+            slab_enter(cab2_ref, sc), descend, lambda c_: c_, carry)
+
     init = (
         jnp.full((1, n), 1e30, jnp.float32),
         jnp.full((1, n), 0x7FFFFFFF, jnp.int32),
     )
-    best_t, best_f = jax.lax.fori_loop(0, nc, body, init)
+    best_t, best_f = jax.lax.fori_loop(0, nsc, super_body, init)
     miss = best_t >= 1e30
     t_ref[0] = best_t
     f_ref[0] = jnp.where(miss, -1, best_f)
@@ -312,9 +333,9 @@ def _trace_kernel2c(cab_ref, coef_ref, o_ref, d_ref, phi_ref, t_ref, f_ref,
 
 def trace_nearest_mm2c(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
                        block: int = 2048, interpret: bool = False):
-    """`trace_nearest_mm2` with the cull fused into the kernel
-    (_trace_kernel2c) — no prepass dispatch, no list build. Identical
-    winner selection."""
+    """`trace_nearest_mm2` with the (two-level) cull fused into the
+    kernel (_trace_kernel2c) — no prepass dispatch, no list build.
+    Identical winner selection."""
     f4 = coef.shape[0]
     f = f4 // 4
     n = orig.shape[0]
@@ -342,14 +363,25 @@ def trace_nearest_mm2c(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
     cab = jnp.concatenate(
         [chunk_lo.T, chunk_hi.T], axis=0
     ).astype(jnp.float32)                                # (6, nc)
+    # super-chunk AABBs for the cull's first level (tail super may be
+    # short — the descent loop clamps to nc)
+    nsc = -(-nc // MM2C_SUPER)
+    pad_c = nsc * MM2C_SUPER - nc
+    lo_p = jnp.pad(chunk_lo, ((0, pad_c), (0, 0)), constant_values=BIG)
+    hi_p = jnp.pad(chunk_hi, ((0, pad_c), (0, 0)), constant_values=-BIG)
+    cab2 = jnp.concatenate([
+        lo_p.reshape(nsc, MM2C_SUPER, 3).min(1).T,
+        hi_p.reshape(nsc, MM2C_SUPER, 3).max(1).T,
+    ], axis=0).astype(jnp.float32)                       # (6, nsc)
     oc = orig.T.reshape(3, nb * rows, 128)
     dc = d.T.reshape(3, nb * rows, 128)
 
     t, fi = pl.pallas_call(
-        functools.partial(_trace_kernel2c, nc=nc, chunk=chunk),
+        functools.partial(_trace_kernel2c, nc=nc, nsc=nsc, chunk=chunk),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # cab
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # cab2
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # coef table
             pl.BlockSpec((3, rows, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -370,7 +402,7 @@ def trace_nearest_mm2c(coef, chunk_lo, chunk_hi, orig, d, chunk: int = 128,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(cab, coef_c, oc, dc, phi)
+    )(cab, cab2, coef_c, oc, dc, phi)
     t = t.reshape(-1)[:n]
     fi = fi.reshape(-1)[:n]
     hit = t < BIG
