@@ -164,6 +164,268 @@ def _tile_kernel(off_ref, cnt_ref, lst_ref, geo_ref, attr_ref,
     id_ref[1] = tid
 
 
+def _tile_kernel_shaded(off_ref, cnt_ref, lgt_ref, lst_ref, geo_ref,
+                        attr_ref, z_ref, i_ref, pa_ref, id_ref, *,
+                        gw: int, tile_h: int, tile_w: int, n_lights: int,
+                        active_types):
+    """_tile_kernel + IN-KERNEL Blinn-Phong (r5): the deferred-shading
+    stage measured ~5.5 ms of the 7.3 ms frame (PERFORMANCE.md r5
+    decomposition), most of it NOT the texture fetch — so the Phong
+    light sum moves into the tile program and only the texel multiply
+    stays outside. The TEXTURE shader's texel enters the reference
+    formula linearly once as kd and once as the payload factor
+    (Shader.cpp:554-573), so the per-pixel color decomposes EXACTLY as
+        rgb = A + A_t (*) texel + B_t (*) texel^2
+    with A/A_t/B_t computable in-kernel:
+        NORMAL:  A = (n_hat+1)/2                     (Shader.cpp:547)
+        PHONG:   A = amb_spec (*) color + diff (*) color^2  (kd=payload=color)
+        TEXTURE: A_t = amb_spec, B_t = diff
+    where amb_spec = sum_l KA*li + KS*cos_a^p*dist and diff = sum_l
+    cos_t*dist — the faithful 2-D-attenuation Blinn-Phong terms.
+    BUMP/DISPLACEMENT perturb the normal через texels (nonlinear) and
+    stay on the XLA deferred path (the caller dispatches).
+
+    lgt_ref (SMEM, (3 + 6*n_lights,)): [eye | per-light pos(3) int(3)].
+    Outputs pa_ref (8): [A(3) | A_t(3) | uv(2)], id_ref (2): [B-planes
+    folded? no — B_t rides id... ] — see raster_tiles_shaded."""
+    t = pl.program_id(0)
+    cnt = cnt_ref[t]
+    shape = (tile_h, tile_w)
+    y = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        + (t // gw) * tile_h + off_ref[0]
+    ).astype(jnp.float32)
+    x = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 1) + (t % gw) * tile_w
+    ).astype(jnp.float32)
+
+    def zbody(j, c):
+        bz, bi = c
+        f = lst_ref[0, 0, j]
+        alpha = x * geo_ref[f, 0] + y * geo_ref[f, 1] + geo_ref[f, 2]
+        beta = x * geo_ref[f, 3] + y * geo_ref[f, 4] + geo_ref[f, 5]
+        gamma = 1.0 - alpha - beta
+        inside = (
+            (alpha > 0) & (alpha < 1)
+            & (beta > 0) & (beta < 1)
+            & (gamma > 0) & (gamma < 1)
+        )
+        z = x * geo_ref[f, 6] + y * geo_ref[f, 7] + geo_ref[f, 8]
+        score = jnp.where(inside, z, 3.0e38)
+        better = score < bz
+        return jnp.where(better, score, bz), jnp.where(better, f, bi)
+
+    bz, bi = jax.lax.fori_loop(
+        0, cnt, zbody,
+        (jnp.full(shape, 3.0e38, jnp.float32),
+         jnp.full(shape, -1, jnp.int32)),
+    )
+
+    zero = jnp.zeros(shape, jnp.float32)
+    izero = jnp.zeros(shape, jnp.int32)
+
+    def abody(j, c):
+        planes, sid, tid = c
+        f = lst_ref[0, 0, j]
+        m = bi == f
+        alpha = x * geo_ref[f, 0] + y * geo_ref[f, 1] + geo_ref[f, 2]
+        beta = x * geo_ref[f, 3] + y * geo_ref[f, 4] + geo_ref[f, 5]
+        gamma = 1.0 - alpha - beta
+        out = []
+        for k in range(8):
+            if k < 3:
+                c0, c1, c2 = k, k + 3, k + 6
+            elif k < 5:
+                c0, c1, c2 = 9 + (k - 3), 11 + (k - 3), 13 + (k - 3)
+            else:
+                c0, c1, c2 = 15 + (k - 5), 18 + (k - 5), 21 + (k - 5)
+            v = (
+                alpha * attr_ref[f, c0]
+                + beta * attr_ref[f, c1]
+                + gamma * attr_ref[f, c2]
+            )
+            out.append(jnp.where(m, v, planes[k]))
+        sid = jnp.where(m, attr_ref[f, 24].astype(jnp.int32), sid)
+        tid = jnp.where(m, attr_ref[f, 25].astype(jnp.int32), tid)
+        return tuple(out), sid, tid
+
+    planes, sid, tid = jax.lax.fori_loop(
+        0, cnt, abody, ((zero,) * 8, izero, izero - 1)
+    )
+
+    # ---- phase 3: Blinn-Phong terms (Shader.cpp:510-543 semantics:
+    # 2-D sqrt attenuation, screen-space positions, static KA/KS/P),
+    # evaluated per (8, tile_w) SUB-BLOCK under pl.when(any covered) —
+    # full-tile evaluation measured 10.4 ms/frame vs the deferred
+    # path's 7.8 (the transcendental-heavy Phong ran on ~100% of tile
+    # pixels where block-compacted shading paid ~15% coverage).
+    z_ref[...] = jnp.where(bi >= 0, bz, jnp.float32('inf'))
+    i_ref[...] = bi
+    pa_ref[6] = planes[3]                         # u
+    pa_ref[7] = planes[4]                         # v
+    id_ref[0] = jnp.where(sid == 1, tid, -1)
+    id_ref[1] = sid
+
+    sub_rows = []
+    for rg in range(tile_h // 8):
+        s8 = slice(rg * 8, (rg + 1) * 8)
+        bi_s = bi[s8]
+        bz_s = bz[s8]
+        x_s = x[s8]
+        y_s = y[s8]
+        sid_s = sid[s8]
+        pl_s = [p[s8] for p in planes]
+        zero8 = jnp.zeros((8, tile_w), jnp.float32)
+
+        def _shade_sub(bi_s=bi_s, bz_s=bz_s, x_s=x_s, y_s=y_s,
+                       sid_s=sid_s, pl_s=pl_s, zero8=zero8):
+            nx, ny, nz = pl_s[0], pl_s[1], pl_s[2]
+            nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+            ninv = jnp.where(
+                nn > 0, 1.0 / jnp.where(nn > 0, nn, 1.0), 0.0)
+            nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+            ex, ey, ez = lgt_ref[0], lgt_ref[1], lgt_ref[2]
+            vx, vy, vz = ex - x_s, ey - y_s, ez - bz_s
+            amb_r = amb_g = amb_b = zero8
+            dif_r = dif_g = dif_b = zero8
+            for li in range(n_lights):
+                o = 3 + 6 * li
+                lpx, lpy, lpz = (lgt_ref[o], lgt_ref[o + 1],
+                                 lgt_ref[o + 2])
+                lir, lig, lib = (lgt_ref[o + 3], lgt_ref[o + 4],
+                                 lgt_ref[o + 5])
+                ldx, ldy, ldz = lpx - x_s, lpy - y_s, lpz - bz_s
+                att = jnp.sqrt((lpx - x_s) * (lpx - x_s)
+                               + (lpy - y_s) * (lpy - y_s))
+                inv_att = 1.0 / jnp.maximum(att, 1e-12)
+                ln = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+                linv = jnp.where(
+                    ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
+                cos_t = jnp.maximum(
+                    0.0, (nx * ldx + ny * ldy + nz * ldz) * linv)
+                hx, hy, hz = ldx + vx, ldy + vy, ldz + vz
+                hn = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+                hinv = jnp.where(
+                    hn > 0, 1.0 / jnp.where(hn > 0, hn, 1.0), 0.0)
+                cos_a = jnp.maximum(
+                    0.0, (nx * hx + ny * hy + nz * hz) * hinv)
+                spec = jnp.where(
+                    cos_a > 0.0,
+                    jnp.exp(150.0 * jnp.log(jnp.maximum(cos_a, 1e-30))),
+                    0.0,
+                )  # cos_a^P_EXP (Shader.cpp:7-12: p=150)
+                amb_r = amb_r + (0.005 + 0.7937 * spec * inv_att) * lir
+                amb_g = amb_g + (0.005 + 0.7937 * spec * inv_att) * lig
+                amb_b = amb_b + (0.005 + 0.7937 * spec * inv_att) * lib
+                dif_r = dif_r + cos_t * inv_att * lir
+                dif_g = dif_g + cos_t * inv_att * lig
+                dif_b = dif_b + cos_t * inv_att * lib
+
+            is_norm = sid_s == 0
+            is_tex = sid_s == 1
+            cr, cg, cb = pl_s[5], pl_s[6], pl_s[7]
+            # direct: NORMAL -> (n+1)/2; PHONG -> amb(*)c + dif(*)c^2
+            dir_r = jnp.where(is_norm, (nx + 1.0) * 0.5,
+                              amb_r * cr + dif_r * cr * cr)
+            dir_g = jnp.where(is_norm, (ny + 1.0) * 0.5,
+                              amb_g * cg + dif_g * cg * cg)
+            dir_b = jnp.where(is_norm, (nz + 1.0) * 0.5,
+                              amb_b * cb + dif_b * cb * cb)
+            tf = is_tex.astype(jnp.float32)
+            cov = (bi_s >= 0).astype(jnp.float32)
+            return (
+                jnp.where(is_tex, 0.0, dir_r) * cov,
+                jnp.where(is_tex, 0.0, dir_g) * cov,
+                jnp.where(is_tex, 0.0, dir_b) * cov,
+                amb_r * tf * cov, amb_g * tf * cov, amb_b * tf * cov,
+                dif_r * tf * cov, dif_g * tf * cov, dif_b * tf * cov,
+            )
+
+        sub_rows.append(jax.lax.cond(
+            jnp.any(bi_s >= 0), _shade_sub,
+            lambda zero8=zero8: (zero8,) * 9))
+
+    # assemble the 9 shaded planes from the 16 sub-rows each
+    for k, dst in enumerate((0, 1, 2, 3, 4, 5, 8, 9, 10)):
+        pa_ref[dst] = jnp.concatenate(
+            [sr[k] for sr in sub_rows], axis=0)
+    pa_ref[11] = jnp.zeros((tile_h, tile_w), jnp.float32)  # pad plane
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "cap",
+                     "interpret", "n_lights", "active_types"),
+)
+def raster_tiles_shaded(geo, attr, tri_bbox, keep, lights, height: int,
+                        width: int, tile_h: int = 128, tile_w: int = 128,
+                        cap: int = 2048, interpret: bool = False, row0=0,
+                        n_lights: int = 0, active_types=()):
+    """Binned + fused tile rasterization WITH in-kernel Blinn-Phong
+    (_tile_kernel_shaded). `lights`: (3 + 6*n_lights,) f32 [eye |
+    pos(3) int(3) per light]. Returns dict: best_z, best_idx, direct
+    (H,W,3), tex_a (H,W,3), tex_b (H,W,3), uv (H,W,2), tex_id (H,W;
+    -1 for non-texture pixels), bin_dropped. Final image =
+    direct + tex_a*texel + tex_b*texel^2 (texel fetched by the
+    caller at compacted width)."""
+    gh = -(-height // tile_h)
+    gw = -(-width // tile_w)
+    cap = min(cap, max(256, ((geo.shape[0] + 127) // 128) * 128))
+    lists, counts, dropped = bin_triangles(
+        tri_bbox, keep, gh, gw, tile_h, tile_w, cap, row0=row0
+    )
+    hp, wp = gh * tile_h, gw * tile_w
+
+    bz, bi, pa, ids = pl.pallas_call(
+        functools.partial(
+            _tile_kernel_shaded, gw=gw, tile_h=tile_h, tile_w=tile_w,
+            n_lights=n_lights, active_types=active_types,
+        ),
+        grid=(gh * gw,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # row0
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # counts
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # lights
+            pl.BlockSpec((1, 1, cap), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),                 # list row
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # geo
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # attr
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w), lambda t: (t // gw, t % gw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), lambda t: (t // gw, t % gw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tile_h, tile_w),
+                         lambda t: (0, t // gw, t % gw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_h, tile_w),
+                         lambda t: (0, t // gw, t % gw),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((12, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((2, hp, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(row0, jnp.int32).reshape(1), counts, lights,
+      lists[:, None, :], geo, attr)
+
+    sl = (slice(0, height), slice(0, width))
+    return {
+        "best_z": bz[sl],
+        "best_idx": bi[sl],
+        "direct": jnp.moveaxis(pa[0:3], 0, -1)[sl],
+        "tex_a": jnp.moveaxis(pa[3:6], 0, -1)[sl],
+        "uv": jnp.moveaxis(pa[6:8], 0, -1)[sl],
+        "tex_b": jnp.moveaxis(pa[8:11], 0, -1)[sl],
+        "tex_id": ids[0][sl],
+        "bin_dropped": dropped,
+    }
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "cap",

@@ -411,6 +411,79 @@ def face_cull_mask(tri_pos, eye, face_valid):
     return face_valid & (jnp.sum(fn * eye, axis=-1) <= 0)
 
 
+def _apply_tex_quadratic(direct, tex_a, tex_b, uv, tex_id, geom,
+                         height: int, width: int, cap_frac: float = 0.25):
+    """Apply the in-kernel shaded path's deferred texel terms:
+    image = direct + tex_a (*) texel + tex_b (*) texel^2 on pixels with
+    tex_id >= 0 (raster_tiles_shaded). The atlas gather runs at
+    block-compacted width ((8,128) blocks containing any textured
+    pixel) with an exact full-width lax.cond fallback — same structure
+    as the deferred-shading compaction it replaces, minus the Phong
+    math (now in-kernel)."""
+    from software_rasterizer_tpu.ops.path import compact_perm
+    from software_rasterizer_tpu.ops.texture_ops import fetch_nearest
+
+    bh, bw = 8, 128
+    gby, gbx = height // bh, width // bw
+    nb = gby * gbx
+    is_tex = tex_id >= 0
+    packed = (
+        geom.tex_packed
+        if getattr(geom, "tex_packed", None) is not None
+        and geom.tex_packed.shape == geom.textures.shape[:3]
+        else None
+    )
+
+    def to_blocks(a, k):
+        return (
+            a.reshape(gby, bh, gbx, bw, k)
+            .transpose(0, 2, 1, 3, 4).reshape(nb, bh, bw, k)
+        )
+
+    tab = jnp.concatenate([
+        tex_a, tex_b, uv,
+        tex_id.astype(jnp.float32)[..., None],
+        is_tex.astype(jnp.float32)[..., None],
+    ], axis=-1)                                           # (H,W,10)
+    tab_b = to_blocks(tab, 10)
+    blk_live = jnp.any(tab_b[..., 9] > 0.5, axis=(1, 2))
+    n_live = jnp.sum(blk_live.astype(jnp.int32))
+    cap = max(64, int(nb * cap_frac))
+
+    def term(a, b, uvv, tid, live):
+        texel = fetch_nearest(
+            geom.textures, geom.tex_wh,
+            jnp.maximum(jnp.round(tid).astype(jnp.int32), 0), uvv,
+            packed=packed,
+        )
+        out = a * texel + b * texel * texel
+        return jnp.where(live[..., None], out, 0.0)
+
+    def compacted(_):
+        perm, n_act = compact_perm(blk_live, cap)
+        slot_ok = jnp.arange(cap, dtype=jnp.int32) < n_act
+        tc = tab_b[perm]                                  # (cap,8,128,10)
+        # fetch_nearest broadcasts over leading dims; keep block shape
+        add_c = term(
+            tc[..., 0:3], tc[..., 3:6], tc[..., 6:8], tc[..., 8],
+            (tc[..., 9] > 0.5) & slot_ok[:, None, None],
+        )
+        out_b = jnp.zeros((nb, bh, bw, 3))
+        tgt = jnp.where(slot_ok, perm, nb)
+        out_b = out_b.at[tgt].set(add_c, mode="drop")
+        return (
+            out_b.reshape(gby, gbx, bh, bw, 3)
+            .transpose(0, 2, 1, 3, 4).reshape(height, width, 3)
+        )
+
+    def full(_):
+        return term(tex_a, tex_b, uv, tex_id.astype(jnp.float32), is_tex)
+
+    if cap >= nb:
+        return direct + full(None)
+    return direct + jax.lax.cond(n_live <= cap, compacted, full, None)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile", "chunk", "cull",
@@ -476,12 +549,57 @@ def render_raster_frame(
 
     if _raster_backend() == "pallas":
         from software_rasterizer_tpu.ops.pallas_raster import (
-            pack_raster_tables, raster_tiles_fused,
+            pack_raster_tables, raster_tiles_fused, raster_tiles_shaded,
         )
 
         geo_t, attr_t = pack_raster_tables(
             coef, zrow, tri_nrm, tri_uv, tri_col, shader_type_f, tex_id_f
         )
+        # r5 EXPERIMENTAL (SRT_RASTER_SHADED=1): Blinn-Phong IN the tile
+        # kernel when every active shader is NORMAL/TEXTURE/PHONG — only
+        # the texel multiply stays outside (the TEXTURE color is a
+        # quadratic in the texel, applied at compacted width by
+        # _apply_tex_quadratic). Value-exact vs the deferred path in
+        # interpret mode (tests/test_raster_shaded), BUT the full kernel
+        # SIGABRTs the Mosaic compiler on real TPU ("Check failed:
+        # limits[i] <= dim(i) (2 vs. 1)") while minimal repros of each
+        # element compile — default OFF until the compiler issue is
+        # isolated; see PERFORMANCE.md r5. BUMP/DISPLACEMENT perturb
+        # normals through texels and always keep the deferred path.
+        import os
+
+        shaded_ok = (
+            os.environ.get("SRT_RASTER_SHADED", "0") == "1"
+            and active_types is not None
+            and set(int(t) for t in active_types) <= {0, 1, 2}
+            and height % 8 == 0 and width % 128 == 0
+        )
+        if shaded_ok:
+            n_lights = int(frame.light_pos.shape[0])
+            lights = jnp.concatenate(
+                [jnp.asarray(frame.eye, jnp.float32).reshape(3)]
+                + [
+                    jnp.concatenate([
+                        frame.light_pos[i].astype(jnp.float32),
+                        frame.light_int[i].astype(jnp.float32),
+                    ])
+                    for i in range(n_lights)
+                ]
+            )
+            r = raster_tiles_shaded(
+                geo_t, attr_t, tri_bbox, keep, lights, height, width,
+                interpret=jax.default_backend() != "tpu", row0=row0_i,
+                n_lights=n_lights,
+                active_types=tuple(sorted(set(int(t) for t in active_types))),
+            )
+            image = _apply_tex_quadratic(
+                r["direct"], r["tex_a"], r["tex_b"], r["uv"],
+                r["tex_id"], geom, height, width,
+            )
+            zb = jnp.where(r["best_idx"] >= 0, r["best_z"], INF)
+            if with_stats:
+                return image, zb, {"bin_dropped": r["bin_dropped"]}
+            return image, zb
         r = raster_tiles_fused(
             geo_t, attr_t, tri_bbox, keep, height, width,
             interpret=jax.default_backend() != "tpu", row0=row0_i,
