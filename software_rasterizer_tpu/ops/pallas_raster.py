@@ -165,9 +165,9 @@ def _tile_kernel(off_ref, cnt_ref, lst_ref, geo_ref, attr_ref,
 
 
 def _tile_kernel_shaded(off_ref, cnt_ref, lgt_ref, lst_ref, geo_ref,
-                        attr_ref, z_ref, i_ref, pa_ref, id_ref, *,
-                        gw: int, tile_h: int, tile_w: int, n_lights: int,
-                        active_types):
+                        attr_ref, z_ref, i_ref, pa_ref, id_ref, st_s,
+                        *, gw: int, tile_h: int, tile_w: int,
+                        n_lights: int, active_types):
     """_tile_kernel + IN-KERNEL Blinn-Phong (r5): the deferred-shading
     stage measured ~5.5 ms of the 7.3 ms frame (PERFORMANCE.md r5
     decomposition), most of it NOT the texture fetch — so the Phong
@@ -266,20 +266,33 @@ def _tile_kernel_shaded(off_ref, cnt_ref, lgt_ref, lst_ref, geo_ref,
     id_ref[0] = jnp.where(sid == 1, tid, -1)
     id_ref[1] = sid
 
-    sub_rows = []
+    st_s[0] = bz
+    st_s[1] = bi.astype(jnp.float32)
+    st_s[2] = sid.astype(jnp.float32)
+    for k in range(8):
+        st_s[3 + k] = planes[k]
+    st_s[11] = jnp.zeros(shape, jnp.float32)
+
     for rg in range(tile_h // 8):
-        s8 = slice(rg * 8, (rg + 1) * 8)
-        bi_s = bi[s8]
-        bz_s = bz[s8]
-        x_s = x[s8]
-        y_s = y[s8]
-        sid_s = sid[s8]
-        pl_s = [p[s8] for p in planes]
+        r0 = rg * 8
+        bz_s = st_s[0, pl.ds(r0, 8), :]
+        bif_s = st_s[1, pl.ds(r0, 8), :]
+        sidf_s = st_s[2, pl.ds(r0, 8), :]
+        x_s = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, tile_w), 1)
+            + (t % gw) * tile_w
+        ).astype(jnp.float32)
+        y_s = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, tile_w), 0)
+            + (t // gw) * tile_h + off_ref[0] + r0
+        ).astype(jnp.float32)
         zero8 = jnp.zeros((8, tile_w), jnp.float32)
 
-        def _shade_sub(bi_s=bi_s, bz_s=bz_s, x_s=x_s, y_s=y_s,
-                       sid_s=sid_s, pl_s=pl_s, zero8=zero8):
-            nx, ny, nz = pl_s[0], pl_s[1], pl_s[2]
+        def _shade_sub(rg=rg, r0=r0, bz_s=bz_s, bif_s=bif_s,
+                       sidf_s=sidf_s, x_s=x_s, y_s=y_s, zero8=zero8):
+            nx = st_s[3, pl.ds(r0, 8), :]
+            ny = st_s[4, pl.ds(r0, 8), :]
+            nz = st_s[5, pl.ds(r0, 8), :]
             nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
             ninv = jnp.where(
                 nn > 0, 1.0 / jnp.where(nn > 0, nn, 1.0), 0.0)
@@ -321,9 +334,11 @@ def _tile_kernel_shaded(off_ref, cnt_ref, lgt_ref, lst_ref, geo_ref,
                 dif_g = dif_g + cos_t * inv_att * lig
                 dif_b = dif_b + cos_t * inv_att * lib
 
-            is_norm = sid_s == 0
-            is_tex = sid_s == 1
-            cr, cg, cb = pl_s[5], pl_s[6], pl_s[7]
+            is_norm = sidf_s == 0.0
+            is_tex = sidf_s == 1.0
+            cr = st_s[8, pl.ds(r0, 8), :]
+            cg = st_s[9, pl.ds(r0, 8), :]
+            cb = st_s[10, pl.ds(r0, 8), :]
             # direct: NORMAL -> (n+1)/2; PHONG -> amb(*)c + dif(*)c^2
             dir_r = jnp.where(is_norm, (nx + 1.0) * 0.5,
                               amb_r * cr + dif_r * cr * cr)
@@ -332,7 +347,7 @@ def _tile_kernel_shaded(off_ref, cnt_ref, lgt_ref, lst_ref, geo_ref,
             dir_b = jnp.where(is_norm, (nz + 1.0) * 0.5,
                               amb_b * cb + dif_b * cb * cb)
             tf = is_tex.astype(jnp.float32)
-            cov = (bi_s >= 0).astype(jnp.float32)
+            cov = (bif_s >= 0.0).astype(jnp.float32)
             return (
                 jnp.where(is_tex, 0.0, dir_r) * cov,
                 jnp.where(is_tex, 0.0, dir_g) * cov,
@@ -341,15 +356,12 @@ def _tile_kernel_shaded(off_ref, cnt_ref, lgt_ref, lst_ref, geo_ref,
                 dif_r * tf * cov, dif_g * tf * cov, dif_b * tf * cov,
             )
 
-        sub_rows.append(jax.lax.cond(
-            jnp.any(bi_s >= 0), _shade_sub,
-            lambda zero8=zero8: (zero8,) * 9))
-
-    # assemble the 9 shaded planes from the 16 sub-rows each
-    for k, dst in enumerate((0, 1, 2, 3, 4, 5, 8, 9, 10)):
-        pa_ref[dst] = jnp.concatenate(
-            [sr[k] for sr in sub_rows], axis=0)
-    pa_ref[11] = jnp.zeros((tile_h, tile_w), jnp.float32)  # pad plane
+        vals = jax.lax.cond(
+            jnp.any(bif_s >= 0.0), _shade_sub,
+            lambda zero8=zero8: (zero8,) * 9)
+        for k, dst in enumerate((0, 1, 2, 3, 4, 5, 8, 9, 10)):
+            pa_ref[dst, pl.ds(r0, 8), :] = vals[k]
+    pa_ref[11] = jnp.zeros(shape, jnp.float32)
 
 
 @functools.partial(
@@ -408,6 +420,9 @@ def raster_tiles_shaded(geo, attr, tri_bbox, keep, lights, height: int,
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
             jax.ShapeDtypeStruct((12, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((2, hp, wp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((12, tile_h, tile_w), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(row0, jnp.int32).reshape(1), counts, lights,
