@@ -68,13 +68,18 @@ _A_MTYPE, _A_IOR, _A_TEX = 30, 31, 32
 _A_KA, _A_KS, _A_SPEC = 33, 36, 39
 
 
-def pack_uber_tables(scene, chunk: int = 128):
+def pack_uber_tables(scene, chunk: int = 64):
     """Kernel operand tables from an RTScene.
 
-    `chunk`: the kernel's cull/matmul granule. 128 measured best on the
-    demo scene (47.9 ms vs 54.7 at 256 and 88.6 at 512): the epilogue
-    on each visited chunk's (chunk, N) planes dominates the loop, so
-    finer culling beats fewer loop iterations.
+    `chunk`: the kernel's cull/matmul granule. The sweep is epilogue-
+    bound (the (chunk, N) accept/resolve planes of each visited chunk),
+    so FINER culling keeps winning until the loop's fixed cost bites.
+    Frame-0 probe: 512 -> 88.6, 256 -> 54.7, 128 -> 36.6, 64 -> 31.3,
+    32 -> 27.7, 16 -> 34.6 ms — but across the BENCH ROTATION SWEEP
+    chunk=32 develops a heavy tail (median 39.2, p90 55.6: rotated-
+    frame chunk AABBs lose tightness and the 184-chunk loop's fixed
+    cost bites on spec-heavy frames) while **chunk=64 is both fast and
+    stable (median 31.0, p10 30.5, p90 31.4)**. 64 is the default.
 
     Returns (coef_c (nc, 4*chunk, 13), attr_c (nc, ATTR_COLS, chunk),
     cab (6, nsc*SUPER), cab2 (6, nsc), sph (S, 24), nc, chunk)."""
@@ -813,7 +818,7 @@ def _uber_kernel(scal_ref, cab_ref, cab2_ref, sph_ref, coef_ref, attr_ref,
 )
 def whitted_uber_trace(scene, orig, d, max_depth: int = 5,
                        k_slots: int = 4, block: int = 2048,
-                       chunk: int = 128, shadow_bias=1e-4,
+                       chunk: int = 64, shadow_bias=1e-4,
                        interpret: bool = False, _ablate: int = 0):
     """Run the über-kernel over (N,3) rays (tile-order lanes). Returns
     (rgb (N,3) pre-texture, slots (N, k_slots, 6), ovf (N,) bool,
